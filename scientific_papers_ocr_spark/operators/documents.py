@@ -1,0 +1,193 @@
+"""Per-conversation wide stage: segmentation + reassembly (SURVEY.md §7
+stage 4) — the pipeline's single shuffle.
+
+``groupBy(conv_id).applyInPandas`` receives each conversation's per-turn
+extraction records, orders them by ``turn_idx`` inside the group (Spark gives
+no intra-group order guarantee — the sort is load-bearing), and runs the
+oracle segmentation + document assembly.
+
+Scale notes (100 TB / 10^12 turns):
+- the shuffle key is ``conv_id``; AQE skew-split handles moderately skewed
+  conversations because the map side emits compact per-turn records (page
+  text + status), not raw payload copies;
+- a conversation must fit in one executor's memory — same contract as the
+  reference, whose segmentation is whole-document by construction.  For
+  pathological mega-conversations, ``prune_for_assembly`` (below) bounds what
+  enters the shuffle: only the columns segmentation needs.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from .. import schemas
+from ..oracle import assembly, segmentation
+
+
+def prune_for_assembly(turns_out: DataFrame) -> DataFrame:
+    """Column-prune the per-turn table to the assembly inputs before the
+    shuffle (page text, status, metadata) — everything else (block streams,
+    clean text) stays in the narrow output table and never shuffles."""
+    return turns_out.select(
+        "conv_id", "turn_idx", "page_text", "status", "meta_json", "bucket"
+    )
+
+
+def _assemble_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.sort_values("turn_idx")
+    conv_id = pdf["conv_id"].iloc[0]
+    bucket = int(pdf["bucket"].iloc[0])
+    pages = [t if t is not None else "" for t in pdf["page_text"]]
+
+    meta = None
+    meta_cells = [m for m in pdf["meta_json"] if m]
+    if meta_cells:
+        meta = json.loads(meta_cells[0])
+
+    seg = segmentation.segment_document(pages)
+    title = (meta or {}).get("title")
+    authors = assembly._author_tuples(meta)
+    creation_date = (meta or {}).get("creation_date")
+    transcription = assembly.generate_transcription(
+        seg["sections"], title, authors, seg["abstract"], seg["references"],
+        include_references=True,
+    )
+    edoc_json = json.dumps(
+        assembly.edoc_dict(
+            seg["sections"], title, authors, creation_date,
+            seg["abstract"], seg["references"], conv_id=conv_id,
+        ),
+        indent=4,
+    )
+    sections = [
+        {
+            "section_key": k,
+            "start": {"turn_idx": s["start_page"], "pos": s["start_pos"]},
+            "end": {"turn_idx": s["end_page"], "pos": s["end_pos"]},
+            "title": s["title"],
+            "number": s["number"],
+            "text": s["text"],
+        }
+        for k, s in seg["sections"].items()
+    ]
+    refs = seg["references"]
+    references = (
+        [{"ref_number": n, "raw": raw} for n, raw in sorted(refs["entries"].items())]
+        if refs
+        else []
+    )
+    return pd.DataFrame(
+        {
+            "conv_id": [conv_id],
+            "title": [title],
+            "transcription": [transcription],
+            "edoc_json": [edoc_json],
+            "abstract_text": [seg["abstract"]["text"] if seg["abstract"] else None],
+            "sections": [sections],
+            "references": [references],
+            "n_sections": [len(sections)],
+            "n_refs": [len(references)],
+            "n_turns": [len(pages)],
+            "bucket": [bucket],
+        }
+    )
+
+
+def assemble_documents(turns_out: DataFrame) -> DataFrame:
+    """Per-turn records → one document row per conversation."""
+    return (
+        prune_for_assembly(turns_out)
+        .groupBy("conv_id")
+        .applyInPandas(_assemble_group, schema=schemas.DOCS_OUT)
+    )
+
+
+def explode_spans(docs_out: DataFrame) -> DataFrame:
+    """Document rows → span table (abstract + sections + references start),
+    one row per detected span with stable ``(turn_idx, pos)`` coordinates."""
+    section_spans = (
+        docs_out.select(
+            "conv_id", F.posexplode("sections").alias("ordinal", "s")
+        )
+        .select(
+            "conv_id",
+            (F.col("ordinal") + F.lit(2)).alias("span_idx"),
+            F.lit("section").alias("span_type"),
+            F.col("s.start.turn_idx").alias("start_turn"),
+            F.col("s.start.pos").alias("start_pos"),
+            F.col("s.end.turn_idx").alias("end_turn"),
+            F.col("s.end.pos").alias("end_pos"),
+            F.col("s.title").alias("title"),
+            F.col("s.number").alias("number"),
+        )
+    )
+    abstract_spans = (
+        docs_out.where(F.col("abstract_text").isNotNull())
+        .select(
+            "conv_id",
+            F.lit(1).alias("span_idx"),
+            F.lit("abstract").alias("span_type"),
+            F.lit(None).cast("int").alias("start_turn"),
+            F.lit(None).cast("int").alias("start_pos"),
+            F.lit(None).cast("int").alias("end_turn"),
+            F.lit(None).cast("int").alias("end_pos"),
+            F.lit("Abstract").alias("title"),
+            F.lit(None).cast("string").alias("number"),
+        )
+    )
+    return abstract_spans.unionByName(section_spans)
+
+
+def reassemble_text(turns_out: DataFrame) -> DataFrame:
+    """A5 page reassembly as a pure DataFrame aggregation (no pandas): page
+    texts joined with a single space in turn order, deterministic via
+    ``array_sort(collect_list(struct(...)))``.
+
+    Reference: check_transcription.py:104-118.  This is the salger-scale
+    fallback for plain text reassembly of mega-conversations — a two-level
+    (salted partial concat → final concat) variant is in ``reassemble_text_salted``.
+    """
+    return turns_out.groupBy("conv_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("turn_idx", "page_text"))),
+                lambda s: s["page_text"],
+            ),
+            " ",
+        ).alias("doc_text")
+    )
+
+
+def reassemble_text_salted(turns_out: DataFrame, salt_buckets: int = 16) -> DataFrame:
+    """Two-level skew-safe reassembly: partial in-order concat per
+    ``(conv_id, turn_idx // range)`` salt bucket, then final concat of the
+    (far fewer, pre-aggregated) partials per conversation.  Keeps any single
+    aggregation state bounded for 10^5+-turn conversations (north-rule skew
+    handling).
+    """
+    range_size = 1024
+    partial = (
+        turns_out.withColumn("salt", (F.col("turn_idx") / F.lit(range_size)).cast("int"))
+        .groupBy("conv_id", "salt")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("turn_idx", "page_text"))),
+                    lambda s: s["page_text"],
+                ),
+                " ",
+            ).alias("partial_text")
+        )
+    )
+    return partial.groupBy("conv_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("salt", "partial_text"))),
+                lambda s: s["partial_text"],
+            ),
+            " ",
+        ).alias("doc_text")
+    )

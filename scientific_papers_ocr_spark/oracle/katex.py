@@ -1,0 +1,30 @@
+"""LaTeX → KaTeX normalisation.
+
+Reference: notion_interface/markdown_to_notion/mathpix_to_katex.py:1-35.
+"""
+
+from __future__ import annotations
+
+import re
+
+_BIG_KEYWORDS = ("big", "Big", "bigg", "Bigg")
+
+_LEFT_RE = re.compile(r"\\left([(\[{|.\\])")
+_RIGHT_RE = re.compile(r"\\right([)\]}|.\\])")
+
+
+def normalize_katex(text: str) -> str:
+    """``\\big{x}`` → ``\\big x`` (4 size variants), then balance ``\\left`` /
+    ``\\right`` by appending ``\\right.`` / prepending ``\\left.``.
+
+    Reference: mathpix_to_katex.py:7-35 (``parse``).
+    """
+    for kw in _BIG_KEYWORDS:
+        text = re.sub(rf"\\{kw}{{(.*?)}}", rf"\\{kw} \1", text)
+    n_left = len(_LEFT_RE.findall(text))
+    n_right = len(_RIGHT_RE.findall(text))
+    if n_left > n_right:
+        text += "\\right." * (n_left - n_right)
+    if n_right > n_left:
+        text = "\\left." * (n_right - n_left) + text
+    return text

@@ -1,0 +1,73 @@
+"""SparkSession construction with scale-oriented defaults.
+
+Local-mode testing stands in for a multi-executor cluster; every setting here
+is chosen to behave identically on a 1000-executor deployment (AQE on, Arrow
+batching for pandas UDFs, bounded shuffle partitions).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+import zipfile
+
+from pyspark.sql import SparkSession
+
+
+def package_zip() -> str:
+    """Zip this package for worker shipping (the ``spark-submit --py-files``
+    artifact).  Content-addressed under the temp dir so repeat sessions reuse
+    it; calling ``addPyFile`` with it makes the engine importable on every
+    executor no matter where the driver script lives.
+    """
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    pkg_name = os.path.basename(pkg_dir)
+    digest = hashlib.md5()
+    py_files = []
+    for root, _dirs, files in os.walk(pkg_dir):
+        for f in sorted(files):
+            if f.endswith(".py"):
+                p = os.path.join(root, f)
+                py_files.append(p)
+                with open(p, "rb") as fh:
+                    digest.update(p.encode())
+                    digest.update(fh.read())
+    zip_path = os.path.join(
+        tempfile.gettempdir(), f"{pkg_name}-{digest.hexdigest()[:12]}.zip"
+    )
+    if not os.path.exists(zip_path):
+        tmp = zip_path + ".tmp"
+        with zipfile.ZipFile(tmp, "w") as zf:
+            for p in py_files:
+                zf.write(p, os.path.join(pkg_name, os.path.relpath(p, pkg_dir)))
+        os.replace(tmp, zip_path)
+    return zip_path
+
+
+def build_session(
+    app_name: str = "transcript-extraction",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    shuffle_partitions = shuffle_partitions or max(cores, 8)
+    builder = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.addPyFile(package_zip())
+    return spark
