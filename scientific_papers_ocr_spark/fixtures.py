@@ -307,6 +307,83 @@ def _conv_rows(
     return rows
 
 
+def spark_corpus(
+    spark,
+    num_convs: int,
+    seed: int = 42,
+    turns_per_conv: int | None = None,
+    zipf_max_turns: int | None = None,
+):
+    """Generate the corpus DISTRIBUTED: each executor builds its conv range
+    deterministically (same seeding as ``generate_corpus``), so bench-scale
+    corpora (millions of turns) never pass through the driver.
+
+    ``zipf_max_turns`` draws a skewed turns-per-conv distribution (most
+    convs short, a heavy tail up to the cap) — the mega-conversation skew
+    profile of FIXTURES.md §6.
+    """
+    from pyspark.sql import functions as F
+
+    from . import schemas
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows: list[dict] = []
+            for c in pdf["id"]:
+                c = int(c)
+                shape = _SHAPES[c % len(_SHAPES)]
+                conv_id = f"conv-{seed}-{c:05d}-{shape}"
+                conv_rng = random.Random((seed << 20) ^ c)
+                pages = _build_pages(shape, conv_rng, c)
+                tpc = turns_per_conv
+                if zipf_max_turns is not None:
+                    # zipf-ish: 1 / rank tail capped at zipf_max_turns
+                    u = conv_rng.random()
+                    tpc = max(2, min(zipf_max_turns, int(2.0 / max(u, 1e-9))))
+                if tpc is not None:
+                    while len(pages) < tpc:
+                        # realistic filler: prose + markup-bearing paragraphs
+                        # so per-turn tokenization cost matches real pages
+                        filler = [
+                            _paragraph(conv_rng, 8),
+                            _mathy_paragraphs(conv_rng)[len(pages) % 4],
+                            _paragraph(conv_rng, 6),
+                        ]
+                        pages.append("\n\n".join(filler) + "\n\n")
+                    pages = pages[:tpc]
+                meta = None
+                if c % 3 != 0:
+                    meta = {
+                        "title": _words(conv_rng, 4),
+                        "authors": [
+                            f"{conv_rng.choice(_VOCAB).capitalize()} {conv_rng.choice(_VOCAB).capitalize()}"
+                            for _ in range(1 + conv_rng.randrange(3))
+                        ],
+                        "creation_date": float(1_500_000_000 + conv_rng.randrange(10**9)),
+                    }
+                rows.extend(_conv_rows(conv_id, c, shape, pages, meta, conv_rng))
+            yield pd.DataFrame(
+                {
+                    "conv_id": [r["conv_id"] for r in rows],
+                    "turn_idx": [r["turn_idx"] for r in rows],
+                    "role": [r["role"] for r in rows],
+                    "text": [r["text"] for r in rows],
+                    "tool": [r["tool"] for r in rows],
+                    "ts": [r["ts"] for r in rows],
+                }
+            )
+
+    n_parts = max(int(spark.sparkContext.defaultParallelism), 8)
+    return (
+        spark.range(num_convs)
+        .repartition(n_parts)
+        .mapInPandas(gen, schema=schemas.TRANSCRIPTS)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+
+
 def corpus_to_parquet(path: str, **kwargs) -> int:
     """Write the corpus to a parquet file with pyarrow (no Spark needed);
     returns the row count."""

@@ -1,0 +1,165 @@
+"""Deduplication operators: exact, MinHash+LSH, n-gram Jaccard, SimHash.
+
+Scale design:
+- exact dedup is a hash-groupBy on a fingerprint column (one shuffle on an
+  md5 key — uniformly distributed, skew-free);
+- MinHash uses portable hashing (``md5(shingle || seed)``) so the DuckDB
+  oracle can reproduce signatures bit-for-bit; candidate generation is a
+  band-bucket self-join (shuffle on band signature, never the O(n²) cross
+  join);
+- n-gram Jaccard verifies candidates via a shingle-explode equi-join —
+  at 100 TB you run it only on LSH candidates, not all pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .text_analysis import normalized_fingerprint
+
+DEFAULT_SEEDS = ("s0", "s1", "s2", "s3")
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact-dup groups: fingerprint → (keeper id, group size), dup groups
+    only.  One shuffle on the fingerprint."""
+    return (
+        docs.select(F.col(id_col), normalized_fingerprint(F.col(text_col)).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("group_size"),
+        )
+        .where(F.col("group_size") > 1)
+    )
+
+
+def word_shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3) -> DataFrame:
+    """Distinct k-word shingles per document (lower-cased, single-space
+    tokenization — matches the SQL oracle exactly)."""
+    words = F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)), "\\s+", " ")), " ")
+    with_words = docs.select(F.col(id_col), words.alias("words")).where(
+        F.size("words") >= k
+    )
+    idxs = F.sequence(F.lit(0), F.size("words") - F.lit(k))
+    shingle = lambda i: F.array_join(F.slice(F.col("words"), i + 1, k), " ")  # noqa: E731
+    return (
+        with_words.select(
+            F.col(id_col), F.explode(F.transform(idxs, shingle)).alias("shingle")
+        )
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    shingles: DataFrame, id_col: str = "doc_id", seeds: tuple[str, ...] = DEFAULT_SEEDS
+) -> DataFrame:
+    """Per-doc MinHash signature: one band per seed, each the min of
+    ``md5(shingle || '#' || seed)`` — a portable permutation-hash stand-in
+    reproducible in any engine with md5.  Partial aggregation (map-side
+    combine) applies because min() is algebraic."""
+    aggs = [
+        F.min(F.md5(F.concat(F.col("shingle"), F.lit("#" + s)))).alias(f"band_{i}")
+        for i, s in enumerate(seeds)
+    ]
+    return shingles.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, id_col: str = "doc_id", n_bands: int = len(DEFAULT_SEEDS)
+) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing ANY band value.  Implemented
+    as unpivot → equi-join on (band_idx, value) → distinct pair — the
+    LSH-bucket join that replaces the quadratic cross product."""
+    bands = F.array(*[
+        F.struct(F.lit(i).alias("band_idx"), F.col(f"band_{i}").alias("band_val"))
+        for i in range(n_bands)
+    ])
+    unpivoted = signatures.select(F.col(id_col), F.explode(bands).alias("b")).select(
+        id_col, "b.band_idx", "b.band_val"
+    )
+    a = unpivoted.alias("a")
+    b = unpivoted.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.band_idx") == F.col("b.band_idx"),
+                F.col("a.band_val") == F.col("b.band_val"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    shingles: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """N-gram Jaccard similarity per doc pair via shingle equi-join.
+
+    With ``candidates`` (e.g. LSH output) the join is restricted to candidate
+    pairs — the 100 TB path; without, all co-shingled pairs are scored (test
+    scale only)."""
+    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    inter = (
+        a.join(b, on="shingle")
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, on=["id_a", "id_b"], how="left_semi")
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("size_b"))
+    return (
+        inter.join(sa, on="id_a")
+        .join(sb, on="id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common")), 4
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16) -> DataFrame:
+    """SimHash over word shingles using md5-nibble bit votes.
+
+    Portable construction (also expressible in SQL): for each of the first
+    ``bits/4`` hex nibbles of ``md5(shingle)``, each of its 4 bits votes
+    +1/-1; the sign vector packs into an integer.  Narrow except for one
+    groupBy on the doc id."""
+    assert bits % 4 == 0 and bits <= 64
+    sh = word_shingles(docs, id_col=id_col, text_col=text_col)
+    h = F.md5(F.col("shingle"))
+    votes = []
+    for nib in range(bits // 4):
+        nibble_val = F.instr(F.lit("0123456789abcdef"), F.substring(h, nib + 1, 1)) - 1
+        for bit in range(4):
+            power = 2 ** (3 - bit)
+            bit_set = F.floor(nibble_val / power) % 2
+            votes.append(
+                F.sum(bit_set * 2 - 1).alias(f"v{nib * 4 + bit}")
+            )
+    agg = sh.groupBy(id_col).agg(*votes)
+    packed = None
+    for i in range(bits):
+        contrib = F.when(F.col(f"v{i}") > 0, F.lit(2 ** (bits - 1 - i))).otherwise(F.lit(0))
+        packed = contrib if packed is None else packed + contrib
+    return agg.select(F.col(id_col), packed.cast("long").alias("simhash"))

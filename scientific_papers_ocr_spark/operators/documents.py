@@ -36,16 +36,19 @@ def prune_for_assembly(turns_out: DataFrame) -> DataFrame:
     )
 
 
-def _assemble_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    pdf = pdf.sort_values("turn_idx")
-    conv_id = pdf["conv_id"].iloc[0]
-    bucket = int(pdf["bucket"].iloc[0])
-    pages = [t if t is not None else "" for t in pdf["page_text"]]
-
+def _assemble_rows(
+    conv_id: str,
+    bucket: int,
+    pages: list[str],
+    meta_cells: list,
+) -> dict:
+    """Assemble one conversation into a document row dict (pages already
+    turn-ordered)."""
     meta = None
-    meta_cells = [m for m in pdf["meta_json"] if m]
-    if meta_cells:
-        meta = json.loads(meta_cells[0])
+    for m in meta_cells:
+        if m:
+            meta = json.loads(m)
+            break
 
     seg = segmentation.segment_document(pages)
     title = (meta or {}).get("title")
@@ -79,25 +82,39 @@ def _assemble_group(pdf: pd.DataFrame) -> pd.DataFrame:
         if refs
         else []
     )
-    return pd.DataFrame(
-        {
-            "conv_id": [conv_id],
-            "title": [title],
-            "transcription": [transcription],
-            "edoc_json": [edoc_json],
-            "abstract_text": [seg["abstract"]["text"] if seg["abstract"] else None],
-            "sections": [sections],
-            "references": [references],
-            "n_sections": [len(sections)],
-            "n_refs": [len(references)],
-            "n_turns": [len(pages)],
-            "bucket": [bucket],
-        }
+    return {
+        "conv_id": conv_id,
+        "title": title,
+        "transcription": transcription,
+        "edoc_json": edoc_json,
+        "abstract_text": seg["abstract"]["text"] if seg["abstract"] else None,
+        "sections": sections,
+        "references": references,
+        "n_sections": len(sections),
+        "n_refs": len(references),
+        "n_turns": len(pages),
+        "bucket": bucket,
+    }
+
+
+def _assemble_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """applyInPandas adapter (reference implementation; the production path
+    is ``assemble_documents``'s batched mapInPandas)."""
+    pdf = pdf.sort_values("turn_idx")
+    row = _assemble_rows(
+        pdf["conv_id"].iloc[0],
+        int(pdf["bucket"].iloc[0]),
+        [t if t is not None else "" for t in pdf["page_text"]],
+        list(pdf["meta_json"]),
     )
+    return pd.DataFrame({k: [v] for k, v in row.items()})
 
 
-def assemble_documents(turns_out: DataFrame) -> DataFrame:
-    """Per-turn records → one document row per conversation."""
+def assemble_documents_grouped(turns_out: DataFrame) -> DataFrame:
+    """Per-conv assembly via ``groupBy().applyInPandas`` — semantically the
+    spec, but pays ~10ms/group framing overhead (measured), which dominates
+    when conversations are small.  Kept for A/B testing against the batched
+    path below."""
     return (
         prune_for_assembly(turns_out)
         .groupBy("conv_id")
@@ -105,15 +122,78 @@ def assemble_documents(turns_out: DataFrame) -> DataFrame:
     )
 
 
+def assemble_documents(turns_out: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """Per-turn records → one document row per conversation.
+
+    Physical strategy: hash-repartition on ``conv_id`` +
+    ``sortWithinPartitions(conv_id, turn_idx)`` + ONE ``mapInPandas`` that
+    walks each Arrow batch and splits conversations itself, carrying the
+    trailing (possibly batch-straddling) conversation into the next batch.
+    Same single shuffle as ``applyInPandas``, but per-conversation overhead
+    drops from per-group protocol framing to a pandas slice — ~10x faster on
+    small-conversation corpora (measured on the bench corpus).
+    """
+    pruned = prune_for_assembly(turns_out)
+
+    def process(batches):
+        carry: pd.DataFrame | None = None
+
+        def assemble_span(pdf: pd.DataFrame, lo: int, hi: int) -> dict:
+            cid = pdf["conv_id"].iat[lo]
+            return _assemble_rows(
+                cid,
+                int(pdf["bucket"].iat[lo]),
+                [t if t is not None else "" for t in pdf["page_text"].iloc[lo:hi]],
+                list(pdf["meta_json"].iloc[lo:hi]),
+            )
+
+        def emit(pdf: pd.DataFrame) -> pd.DataFrame:
+            rows = []
+            cids = pdf["conv_id"].values
+            lo = 0
+            for i in range(1, len(cids) + 1):
+                if i == len(cids) or cids[i] != cids[lo]:
+                    rows.append(assemble_span(pdf, lo, i))
+                    lo = i
+            return pd.DataFrame(rows)
+
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if not len(pdf):
+                continue
+            cids = pdf["conv_id"].values
+            last = cids[-1]
+            # rows are sorted by conv_id: the trailing conv may continue in
+            # the next batch — hold it back
+            split = len(cids)
+            while split > 0 and cids[split - 1] == last:
+                split -= 1
+            carry = pdf.iloc[split:].reset_index(drop=True)
+            if split:
+                yield emit(pdf.iloc[:split])
+        if carry is not None and len(carry):
+            yield emit(carry)
+
+    arranged = (
+        pruned.repartition(num_partitions, "conv_id")
+        if num_partitions
+        else pruned.repartition("conv_id")
+    ).sortWithinPartitions("conv_id", "turn_idx")
+    return arranged.mapInPandas(process, schema=schemas.DOCS_OUT)
+
+
 def explode_spans(docs_out: DataFrame) -> DataFrame:
     """Document rows → span table (abstract + sections + references start),
     one row per detected span with stable ``(turn_idx, pos)`` coordinates."""
     section_spans = (
         docs_out.select(
-            "conv_id", F.posexplode("sections").alias("ordinal", "s")
+            "conv_id", "bucket", F.posexplode("sections").alias("ordinal", "s")
         )
         .select(
             "conv_id",
+            "bucket",
             (F.col("ordinal") + F.lit(2)).alias("span_idx"),
             F.lit("section").alias("span_type"),
             F.col("s.start.turn_idx").alias("start_turn"),
@@ -128,6 +208,7 @@ def explode_spans(docs_out: DataFrame) -> DataFrame:
         docs_out.where(F.col("abstract_text").isNotNull())
         .select(
             "conv_id",
+            "bucket",
             F.lit(1).alias("span_idx"),
             F.lit("abstract").alias("span_type"),
             F.lit(None).cast("int").alias("start_turn"),

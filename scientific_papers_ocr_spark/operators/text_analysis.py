@@ -1,0 +1,70 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All hot-path expressions are JVM-side column expressions (whole-stage
+codegen, no Python), deliberately restricted to regex constructs whose
+semantics agree between Spark (Java regex) and DuckDB (RE2) so each operator
+has an exact SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# Small english stopword core used by the language-ID / quality heuristics.
+EN_STOPWORDS = (
+    "the", "of", "and", "to", "in", "is", "that", "for", "it", "as",
+    "was", "with", "be", "by", "on", "not", "he", "this", "are", "or",
+)
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (single-space split; empty tokens counted, so
+    the Spark and SQL oracles agree exactly)."""
+    return F.size(F.split(text, " "))
+
+
+def alpha_ratio(text: Column) -> Column:
+    """Alphabetic-character ratio (F2 analog as a pure column expr)."""
+    return F.length(F.regexp_replace(text, "[^A-Za-z]", "")) / F.length(text)
+
+
+def stopword_ratio(text: Column) -> Column:
+    stop_array = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    words = F.split(F.lower(text), " ")
+    return F.size(F.filter(words, lambda w: F.array_contains(stop_array, w))) / F.size(words)
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality heuristic in [0, ~2]: alpha ratio + stopword signal
+    + length gate, as one codegen'd expression."""
+    return (
+        alpha_ratio(text)
+        + stopword_ratio(text) * 2
+        + F.when(F.length(text) >= 150, F.lit(0.25)).otherwise(F.lit(0.0))
+    )
+
+
+def predict_lang(text: Column) -> Column:
+    """Stopword-ratio language ID: 'en' when common-english density clears
+    the threshold, else 'other'.  (N-gram models plug in the same way; the
+    operator contract is the column expression.)"""
+    return F.when(stopword_ratio(text) >= 0.08, F.lit("en")).otherwise(F.lit("other"))
+
+
+def normalized_fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 of lower-cased, whitespace-collapsed,
+    trimmed text.  Exact-dedup key; identical in Spark and DuckDB."""
+    return F.md5(F.trim(F.regexp_replace(F.lower(text), "\\s+", " ")))
+
+
+def profile_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """One narrow pass computing the full text-analysis profile."""
+    t = F.col(text_col)
+    return docs.select(
+        "*",
+        token_count(t).alias("n_tokens"),
+        F.round(alpha_ratio(t), 4).alias("alpha_ratio"),
+        F.round(quality_score(t), 4).alias("quality"),
+        predict_lang(t).alias("lang_pred"),
+        normalized_fingerprint(t).alias("fingerprint"),
+    )

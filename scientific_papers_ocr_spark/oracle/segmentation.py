@@ -24,6 +24,7 @@ arithmetic — is preserved exactly.
 from __future__ import annotations
 
 import re
+from functools import lru_cache
 from typing import Optional
 
 TITLE_PREFIXES = ["## ", "##", "# ", "#"]
@@ -85,24 +86,45 @@ def find_abstract_start(pages: list[str]) -> Optional[dict]:
 def find_references_start(pages: list[str]) -> Optional[dict]:
     """References keyname search: pages scanned in REVERSE, line-anchored
     regex match.  Reference: elaborate_single_mmd_scientific.py:563-576.
+
+    Perf (semantics-preserving): pages are lower-cased once and a substring
+    prefilter skips the regex on pages that cannot match (the IGNORECASE
+    pattern requires the literal keyname to occur case-insensitively).
     """
+    lowered = [p.lower() for p in pages]
     for name in keyname_variations("References"):
+        rx = _title_pattern(name)
+        needle = name.lower()
         for page_number in range(len(pages) - 1, -1, -1):
-            pos = title_line_match(pages[page_number], name)
-            if pos is not None:
-                return {"page_number": page_number, "key_name": name, "match_pos": pos}
+            if needle not in lowered[page_number]:
+                continue
+            m = rx.search(pages[page_number])
+            if m is not None:
+                return {
+                    "page_number": page_number,
+                    "key_name": name,
+                    "match_pos": m.start(),
+                }
     return None
+
+
+@lru_cache(maxsize=512)
+def _title_pattern(keyname: str) -> "re.Pattern[str]":
+    return re.compile(
+        r"^.*?" + re.escape(keyname) + r"\b.*?$", re.IGNORECASE | re.MULTILINE
+    )
 
 
 def title_line_match(text: str, keyname: str) -> Optional[int]:
     """Start of the first line containing the keyname at a word boundary.
 
-    Reference: elaborate_single_mmd_scientific.py:593-607.
+    Reference: elaborate_single_mmd_scientific.py:593-607 (which builds a
+    full match list; only the first match's start is ever used, so a single
+    ``search`` is equivalent).
     """
-    pattern = r"^.*?" + re.escape(keyname) + r"\b.*?$"
-    matches = list(re.finditer(pattern, text, re.IGNORECASE | re.MULTILINE))
-    if matches:
-        return matches[0].start()
+    m = _title_pattern(keyname).search(text)
+    if m is not None:
+        return m.start()
     return None
 
 

@@ -70,6 +70,7 @@ def run_pipeline(
     """
     df = add_bucket(transcripts_df, num_buckets)
 
+    done = None
     if resume and output_dir:
         done = committed_buckets(spark, os.path.join(output_dir, "lineage"))
         if done is not None:
@@ -77,29 +78,46 @@ def run_pipeline(
             df = df.join(F.broadcast(done), on="bucket", how="left_anti")
 
     turns_out = turns.extract_turns(df.drop("bucket"), num_buckets=num_buckets)
-    docs_out = documents.assemble_documents(turns_out)
-    spans_out = documents.explode_spans(docs_out)
-    lineage = lineage_rows(turns_out)
 
-    result = {
-        "turns": turns_out,
-        "docs": docs_out,
-        "spans": spans_out,
-        "lineage": lineage,
-    }
-
-    if output_dir:
-        tsrc.write_partitioned(turns_out, os.path.join(output_dir, "turns"))
-        tsrc.write_partitioned(docs_out, os.path.join(output_dir, "docs"))
-        spans_with_bucket = spans_out.join(
-            docs_out.select("conv_id", "bucket"), on="conv_id", how="left"
-        )
-        tsrc.write_partitioned(spans_with_bucket, os.path.join(output_dir, "spans"))
-        lineage_path = os.path.join(output_dir, "lineage")
-        mode = "append" if (resume and os.path.exists(lineage_path)) else "overwrite"
-        lineage.write.mode(mode).parquet(lineage_path)
-        result = {
-            name: spark.read.parquet(os.path.join(output_dir, name))
-            for name in ("turns", "docs", "spans", "lineage")
+    if not output_dir:
+        docs_out = documents.assemble_documents(turns_out)
+        return {
+            "turns": turns_out,
+            "docs": docs_out,
+            "spans": documents.explode_spans(docs_out),
+            "lineage": lineage_rows(turns_out),
         }
-    return result
+
+    # materialise the narrow stage once; downstream stages read the committed
+    # columnar table (column-pruned scan) instead of recomputing the
+    # pandas-UDF pass per action.  On resume, dynamic partition overwrite
+    # touches only the freshly processed buckets.
+    tsrc.write_partitioned(turns_out, os.path.join(output_dir, "turns"))
+    all_turns = spark.read.parquet(os.path.join(output_dir, "turns"))
+    fresh_turns = (
+        all_turns.join(F.broadcast(done), on="bucket", how="left_anti")
+        if done is not None
+        else all_turns
+    )
+
+    # assemble/lineage ONLY the buckets processed in this run — committed
+    # buckets keep their existing docs/spans partitions and lineage rows
+    docs_out = documents.assemble_documents(fresh_turns)
+    tsrc.write_partitioned(docs_out, os.path.join(output_dir, "docs"))
+    fresh_docs = (
+        spark.read.parquet(os.path.join(output_dir, "docs")).join(
+            F.broadcast(done), on="bucket", how="left_anti"
+        )
+        if done is not None
+        else spark.read.parquet(os.path.join(output_dir, "docs"))
+    )
+    tsrc.write_partitioned(
+        documents.explode_spans(fresh_docs), os.path.join(output_dir, "spans")
+    )
+    lineage_path = os.path.join(output_dir, "lineage")
+    mode = "append" if (resume and os.path.exists(lineage_path)) else "overwrite"
+    lineage_rows(fresh_turns).write.mode(mode).parquet(lineage_path)
+    return {
+        name: spark.read.parquet(os.path.join(output_dir, name))
+        for name in ("turns", "docs", "spans", "lineage")
+    }

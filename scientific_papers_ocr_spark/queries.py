@@ -1,0 +1,718 @@
+"""Driver-contract query registry: every implemented operator exposed as a
+``(spark, sf_dir) -> DataFrame`` callable plus (where SQL-expressible) an
+exact DuckDB oracle.
+
+Conventions that make the oracle comparison byte-stable:
+- every computed column is aliased identically in Spark and SQL;
+- floats are ``round``-ed at a fixed precision in BOTH engines;
+- only regex constructs with identical Java-regex/RE2 semantics are used
+  JVM-side (``\\d+``, ``\\s+``, char classes); everything subtler lives in
+  pandas UDFs inside the pipeline queries (which use rows-only checks).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from .operators import dedup, documents as docops, similarity, text_analysis, turns
+from . import pipeline
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# relational skeleton (SURVEY.md §2 operator slices over driver tables)
+# ---------------------------------------------------------------------------
+
+def q_turn_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/W3: stable per-partition ordering + lead()."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        _t(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "event_id",
+            F.row_number().over(w).alias("turn_rank"),
+            F.lead("event_id").over(w).alias("next_event_id"),
+        )
+    )
+
+
+SQL_TURN_ORDERING = """
+SELECT user_id, event_id,
+       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS turn_rank,
+       lead(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_event_id
+FROM events
+"""
+
+
+def q_ordered_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5/S6 page reassembly: in-order concat per group, deterministic via
+    sort_array∘collect_list (never shuffle order)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                " ",
+            ).alias("event_stream")
+        )
+    )
+
+
+SQL_ORDERED_CONCAT = """
+SELECT user_id,
+       string_agg(event_type, ' ' ORDER BY ts, event_id) AS event_stream
+FROM events GROUP BY user_id
+"""
+
+
+def q_part_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 part flatten on the driver tables: lineitem parts of an order
+    joined in line-number order."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("l_linenumber", F.col("l_partkey").cast("string").alias("p"))
+                        )
+                    ),
+                    lambda s: s["p"],
+                ),
+                " ",
+            ).alias("part_stream"),
+            F.count(F.lit(1)).alias("n_parts"),
+        )
+    )
+
+
+SQL_PART_FLATTEN = """
+SELECT l_orderkey,
+       string_agg(CAST(l_partkey AS VARCHAR), ' '
+                  ORDER BY l_linenumber, CAST(l_partkey AS VARCHAR)) AS part_stream,
+       count(*) AS n_parts
+FROM lineitem GROUP BY l_orderkey
+"""
+
+
+def q_regex_extract_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T25 filename-key parse analog: digits out of a composite key."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            F.regexp_extract("o_orderpriority", "(\\d+)", 1).cast("int").alias("priority_num"),
+        )
+    )
+
+
+SQL_REGEX_EXTRACT_KEY = """
+SELECT o_orderkey,
+       CAST(regexp_extract(o_orderpriority, '(\\d+)', 1) AS INT) AS priority_num
+FROM orders
+"""
+
+
+def q_sentinel_injection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 missing-page sentinels: in-band sentinel strings for empty rows."""
+    return (
+        _t(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            F.when(
+                F.col("value") <= 0,
+                F.format_string("[MISSING_PAGE_EMPTY:%d]", F.col("event_id")),
+            )
+            .otherwise(F.col("event_type"))
+            .alias("payload"),
+        )
+    )
+
+
+SQL_SENTINEL_INJECTION = """
+SELECT event_id,
+       CASE WHEN value <= 0 THEN printf('[MISSING_PAGE_EMPTY:%d]', event_id)
+            ELSE event_type END AS payload
+FROM events
+"""
+
+
+def q_bbox_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/G4 column bounding-box union as min/max aggregation."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_suppkey").agg(
+        F.round(F.min("l_extendedprice"), 2).alias("x1"),
+        F.round(F.max(F.col("l_extendedprice") + F.col("l_quantity")), 2).alias("x2"),
+        F.round(F.min("l_discount"), 2).alias("y1"),
+        F.round(F.max(F.col("l_discount") + F.col("l_tax")), 2).alias("y2"),
+    )
+
+
+SQL_BBOX_UNION = """
+SELECT l_suppkey,
+       round(min(l_extendedprice), 2) AS x1,
+       round(max(l_extendedprice + l_quantity), 2) AS x2,
+       round(min(l_discount), 2) AS y1,
+       round(max(l_discount + l_tax), 2) AS y2
+FROM lineitem GROUP BY l_suppkey
+"""
+
+
+def q_length_meaningful_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F2 predicates as pushdown-friendly column expressions."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_len"),
+        F.round(text_analysis.alpha_ratio(F.col("text")), 4).alias("alpha_ratio"),
+    ).where((F.length("text") >= 150) & (text_analysis.alpha_ratio(F.col("text")) >= 0.7))
+
+
+SQL_LENGTH_MEANINGFUL_FILTER = """
+SELECT doc_id, length(text) AS n_len,
+       round(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / length(text), 4) AS alpha_ratio
+FROM documents
+WHERE length(text) >= 150
+  AND length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / length(text) >= 0.7
+"""
+
+
+def q_first_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9/W4 first-match-wins selection per partition (min_by)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.min_by("event_type", "event_id").alias("first_event_type"))
+    )
+
+
+SQL_FIRST_MATCH = """
+SELECT user_id, arg_min(event_type, event_id) AS first_event_type
+FROM events GROUP BY user_id
+"""
+
+
+def q_last_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5 reverse-scan last-match selection (max_by)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.max_by("event_type", "event_id").alias("last_event_type"))
+    )
+
+
+SQL_LAST_MATCH = """
+SELECT user_id, arg_max(event_type, event_id) AS last_event_type
+FROM events GROUP BY user_id
+"""
+
+
+def q_broadcast_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 small-dim equi-join, explicitly broadcast, + aggregation."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+SQL_BROADCAST_JOIN_AGG = """
+SELECT n_name, round(sum(l_extendedprice), 2) AS revenue, count(*) AS n_items
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_anti_join_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7/L5 resume skip: anti-join uncommitted work against the committed
+    set (here: orders of customers who already have an 'F' order)."""
+    orders = _t(spark, sf_dir, "orders")
+    committed = orders.where(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
+    return (
+        orders.join(F.broadcast(committed), on="o_custkey", how="left_anti")
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+    )
+
+
+SQL_ANTI_JOIN_RESUME = """
+SELECT o_orderkey, o_custkey, o_orderstatus
+FROM orders
+WHERE o_custkey NOT IN (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F')
+"""
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Headline relational aggregation (TPC-H Q1 shape): partial-agg
+    friendly, fully codegen'd."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: session ids from lag + cumulative gap counter —
+    the batch twin of the streaming session-window operator."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = _t(spark, sf_dir, "events")
+    with_gap = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(
+            (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))) > 1800,
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("is_new_session"),
+    )
+    return with_gap.select(
+        "user_id",
+        "event_id",
+        F.sum("is_new_session")
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("session_id"),
+    )
+
+
+SQL_SESSIONIZE = """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+              THEN 1 ELSE 0 END AS is_new_session
+  FROM events
+)
+SELECT user_id, event_id,
+       sum(is_new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+FROM g
+"""
+
+
+def q_newline_squash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T13 newline squash as a dialect-safe JVM expression."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.trim(F.regexp_replace("text", "\\n{3,}", "\n\n")).alias("squashed"),
+        )
+    )
+
+
+SQL_NEWLINE_SQUASH = """
+SELECT doc_id, trim(regexp_replace(text, '\\n{3,}', e'\\n\\n', 'g')) AS squashed
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# text analysis / dedup / similarity (training-data pipeline operators)
+# ---------------------------------------------------------------------------
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", text_analysis.token_count(F.col("text")).alias("n_tokens"))
+
+
+SQL_TOKEN_COUNT = """
+SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+"""
+
+
+def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID + quality scoring profile."""
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        F.round(text_analysis.stopword_ratio(t), 4).alias("stop_ratio"),
+        F.round(text_analysis.quality_score(t), 4).alias("quality"),
+        text_analysis.predict_lang(t).alias("lang_pred"),
+    )
+
+
+_STOPS_SQL = ", ".join(f"'{w}'" for w in text_analysis.EN_STOPWORDS)
+SQL_TEXT_PROFILE = f"""
+WITH w AS (
+  SELECT doc_id, text,
+         len(list_filter(string_split(lower(text), ' '), x -> x IN ({_STOPS_SQL}))) * 1.0
+           / len(string_split(lower(text), ' ')) AS sr,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / length(text) AS ar
+  FROM documents
+)
+SELECT doc_id,
+       round(sr, 4) AS stop_ratio,
+       round(ar + sr * 2 + CASE WHEN length(text) >= 150 THEN 0.25 ELSE 0.0 END, 4) AS quality,
+       CASE WHEN sr >= 0.08 THEN 'en' ELSE 'other' END AS lang_pred
+FROM w
+"""
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", text_analysis.normalized_fingerprint(F.col("text")).alias("fingerprint")
+    )
+
+
+SQL_FINGERPRINT = """
+SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+FROM documents
+"""
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_duplicates(_t(spark, sf_dir, "documents"))
+
+
+SQL_EXACT_DEDUP = """
+SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
+       min(doc_id) AS keep_id, count(*) AS group_size
+FROM documents GROUP BY 1 HAVING count(*) > 1
+"""
+
+
+_SHINGLE_SQL = """
+  SELECT DISTINCT doc_id,
+         array_to_string(words[i : i + 2], ' ') AS shingle
+  FROM (
+    SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS words
+    FROM documents
+  ), UNNEST(generate_series(1, len(words) - 2)) AS t(i)
+  WHERE len(words) >= 3
+"""
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = dedup.word_shingles(_t(spark, sf_dir, "documents"))
+    return dedup.minhash_signatures(sh)
+
+
+SQL_MINHASH_SIGNATURES = f"""
+WITH shingles AS ({_SHINGLE_SQL})
+SELECT doc_id,
+       min(md5(shingle || '#s0')) AS band_0,
+       min(md5(shingle || '#s1')) AS band_1,
+       min(md5(shingle || '#s2')) AS band_2,
+       min(md5(shingle || '#s3')) AS band_3
+FROM shingles GROUP BY doc_id
+"""
+
+
+def q_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = dedup.word_shingles(_t(spark, sf_dir, "documents"))
+    return dedup.lsh_candidate_pairs(dedup.minhash_signatures(sh))
+
+
+SQL_MINHASH_CANDIDATES = f"""
+WITH shingles AS ({_SHINGLE_SQL}),
+sigs AS (
+  SELECT doc_id,
+         min(md5(shingle || '#s0')) AS band_0,
+         min(md5(shingle || '#s1')) AS band_1,
+         min(md5(shingle || '#s2')) AS band_2,
+         min(md5(shingle || '#s3')) AS band_3
+  FROM shingles GROUP BY doc_id
+),
+unp AS (
+  SELECT doc_id, 0 AS band_idx, band_0 AS band_val FROM sigs
+  UNION ALL SELECT doc_id, 1, band_1 FROM sigs
+  UNION ALL SELECT doc_id, 2, band_2 FROM sigs
+  UNION ALL SELECT doc_id, 3, band_3 FROM sigs
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM unp a JOIN unp b
+  ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-gram Jaccard pairs >= 0.2 among the first 200 docs (bounded for the
+    all-pairs oracle; the 100 TB path feeds LSH candidates instead)."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    sh = dedup.word_shingles(d)
+    return dedup.jaccard_pairs(sh, threshold=0.2)
+
+
+SQL_NGRAM_JACCARD = f"""
+WITH shingles AS (
+  SELECT * FROM ({_SHINGLE_SQL}) WHERE doc_id < 200
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(n_common * 1.0 / (sa.n + sb.n - n_common), 4) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+WHERE round(n_common * 1.0 / (sa.n + sb.n - n_common), 4) >= 0.2
+"""
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash(_t(spark, sf_dir, "documents"), bits=16)
+
+
+def _simhash_sql(bits: int = 16) -> str:
+    votes = []
+    for nib in range(bits // 4):
+        nibble = f"(instr('0123456789abcdef', substr(md5(shingle), {nib + 1}, 1)) - 1)"
+        for bit in range(4):
+            power = 2 ** (3 - bit)
+            i = nib * 4 + bit
+            votes.append(
+                f"sum((CAST(floor({nibble} / {power}) AS BIGINT) % 2) * 2 - 1) AS v{i}"
+            )
+    packed = " + ".join(
+        f"CASE WHEN v{i} > 0 THEN {2 ** (bits - 1 - i)} ELSE 0 END" for i in range(bits)
+    )
+    return f"""
+WITH shingles AS ({_SHINGLE_SQL}),
+votes AS (SELECT doc_id, {', '.join(votes)} FROM shingles GROUP BY doc_id)
+SELECT doc_id, CAST({packed} AS BIGINT) AS simhash FROM votes
+"""
+
+
+SQL_SIMHASH = _simhash_sql(16)
+
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 to the vec_id=0 embedding; the query vector
+    joins in as a broadcast single-row dim table (no driver collect)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    query = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    dot = F.aggregate(
+        F.zip_with(F.col("embedding"), F.col("qvec"), lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+    return (
+        emb.crossJoin(F.broadcast(query))
+        .select(
+            "vec_id",
+            F.round(dot / (norm(F.col("embedding")) * norm(F.col("qvec"))), 4).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.col("vec_id"))
+        .limit(10)
+    )
+
+
+SQL_EMBEDDING_TOPK = """
+WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       round(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(qvec AS DOUBLE[]))
+             / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(CAST(qvec AS DOUBLE[]), CAST(qvec AS DOUBLE[])))), 4) AS cosine
+FROM embeddings CROSS JOIN q
+ORDER BY cosine DESC, vec_id LIMIT 10
+"""
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (multi-probe).  Non-SQL (projection
+    hashing) → rows-only driver check."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qrow = emb.where(F.col("vec_id") == 0).select("embedding").first()
+    qvec = [float(x) for x in qrow["embedding"]]
+    return similarity.ann_topk(emb, qvec, k=10, n_planes=6)
+
+
+def q_embedding_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup candidates via co-bucket all-pairs kNN.
+    Non-SQL → rows-only check."""
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
+    return similarity.pairwise_cosine_knn(emb, k=3)
+
+
+# ---------------------------------------------------------------------------
+# extraction pipeline on driver data (rows-only checks: pandas-UDF semantics
+# are deliberately not SQL-expressible — Python regex dialect)
+# ---------------------------------------------------------------------------
+
+def documents_as_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministically re-shape the documents table into a transcripts
+    table: doc → conversation, text split into 3 turn pages."""
+    d = _t(spark, sf_dir, "documents")
+    third = (F.length("text") / 3).cast("int") + 1
+    pages = F.array(
+        F.col("text").substr(F.lit(1), third),
+        F.col("text").substr(third + 1, third),
+        F.col("text").substr(third * 2 + 1, third),
+    )
+    return (
+        d.select(
+            F.concat(F.lit("doc-"), F.col("doc_id").cast("string")).alias("conv_id"),
+            F.posexplode(pages).alias("turn_idx", "text"),
+        )
+        .select(
+            "conv_id",
+            F.col("turn_idx").cast("int"),
+            F.lit("assistant").alias("role"),
+            "text",
+            F.lit("").alias("tool"),
+            F.lit("2026-01-01 00:00:00").cast("timestamp").alias("ts"),
+        )
+    )
+
+
+def q_extract_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship narrow stage over driver data: per-turn tokenize/verify."""
+    tr = documents_as_transcripts(spark, sf_dir)
+    out = turns.extract_turns(tr, num_buckets=16)
+    return out.select("conv_id", "turn_idx", "status", "n_blocks", "clean_text", "bucket")
+
+
+def q_assemble_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship wide stage: per-conversation segmentation + reassembly."""
+    tr = documents_as_transcripts(spark, sf_dir)
+    out = pipeline.run_pipeline(spark, tr, output_dir=None, num_buckets=16)
+    return out["docs"].select("conv_id", "n_sections", "n_refs", "n_turns", "transcription")
+
+
+def q_layout_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1 block classification + A2 bbox union over a synthetic layout table
+    derived deterministically from lineitem geometry columns."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(2000)
+    )
+    blocks = li.select(
+        F.col("l_orderkey").alias("page_id"),
+        (F.col("l_partkey") % 2000).alias("x"),
+        (F.col("l_suppkey") % 3000).alias("y"),
+        (F.col("l_linenumber") * 300).alias("w"),
+        F.lit(200).alias("h"),
+    )
+    page_w = 2550
+    cls = F.when(
+        F.col("w") < 0.5 * page_w,
+        F.when(
+            F.col("x") < 0.5 * page_w,
+            F.when(F.col("x") + F.col("w") < 0.5 * page_w, F.lit("half_left")).otherwise(
+                F.lit("other")
+            ),
+        ).otherwise(F.lit("half_right")),
+    ).otherwise(F.lit("full"))
+    return (
+        blocks.withColumn("block_type", cls)
+        .groupBy("page_id", "block_type")
+        .agg(
+            F.min("x").alias("x1"),
+            F.max(F.col("x") + F.col("w")).alias("x2"),
+            F.min("y").alias("y1"),
+            F.max(F.col("y") + F.col("h")).alias("y2"),
+            F.count(F.lit(1)).alias("n_blocks"),
+        )
+    )
+
+
+SQL_LAYOUT_BLOCKS = """
+WITH blocks AS (
+  SELECT l_orderkey AS page_id,
+         l_partkey % 2000 AS x, l_suppkey % 3000 AS y,
+         l_linenumber * 300 AS w, 200 AS h
+  FROM (SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 2000)
+),
+typed AS (
+  SELECT *,
+         CASE WHEN w < 0.5 * 2550 THEN
+                CASE WHEN x < 0.5 * 2550 THEN
+                       CASE WHEN x + w < 0.5 * 2550 THEN 'half_left' ELSE 'other' END
+                     ELSE 'half_right' END
+              ELSE 'full' END AS block_type
+  FROM blocks
+)
+SELECT page_id, block_type,
+       min(x) AS x1, max(x + w) AS x2, min(y) AS y1, max(y + h) AS y2,
+       count(*) AS n_blocks
+FROM typed GROUP BY page_id, block_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "turn_ordering": (q_turn_ordering, SQL_TURN_ORDERING),
+    "ordered_concat": (q_ordered_concat, SQL_ORDERED_CONCAT),
+    "part_flatten": (q_part_flatten, SQL_PART_FLATTEN),
+    "regex_extract_key": (q_regex_extract_key, SQL_REGEX_EXTRACT_KEY),
+    "sentinel_injection": (q_sentinel_injection, SQL_SENTINEL_INJECTION),
+    "bbox_union": (q_bbox_union, SQL_BBOX_UNION),
+    "length_meaningful_filter": (q_length_meaningful_filter, SQL_LENGTH_MEANINGFUL_FILTER),
+    "first_match": (q_first_match, SQL_FIRST_MATCH),
+    "last_match": (q_last_match, SQL_LAST_MATCH),
+    "broadcast_join_agg": (q_broadcast_join_agg, SQL_BROADCAST_JOIN_AGG),
+    "anti_join_resume": (q_anti_join_resume, SQL_ANTI_JOIN_RESUME),
+    "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
+    "sessionize": (q_sessionize, SQL_SESSIONIZE),
+    "newline_squash": (q_newline_squash, SQL_NEWLINE_SQUASH),
+    "token_count": (q_token_count, SQL_TOKEN_COUNT),
+    "text_profile": (q_text_profile, SQL_TEXT_PROFILE),
+    "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
+    "exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
+    "minhash_signatures": (q_minhash_signatures, SQL_MINHASH_SIGNATURES),
+    "minhash_candidates": (q_minhash_candidates, SQL_MINHASH_CANDIDATES),
+    "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
+    "simhash": (q_simhash, SQL_SIMHASH),
+    "embedding_topk": (q_embedding_topk, SQL_EMBEDDING_TOPK),
+    "layout_blocks": (q_layout_blocks, SQL_LAYOUT_BLOCKS),
+    # rows-only (non-SQL-expressible: Python-regex pandas-UDF semantics /
+    # projection hashing)
+    "ann_topk": (q_ann_topk, None),
+    "embedding_knn_pairs": (q_embedding_knn_pairs, None),
+    "extract_turns": (q_extract_turns, None),
+    "assemble_docs": (q_assemble_docs, None),
+}

@@ -106,6 +106,7 @@ DOCS_OUT = T.StructType(
 SPANS_OUT = T.StructType(
     [
         T.StructField("conv_id", T.StringType(), False),
+        T.StructField("bucket", T.IntegerType(), False),
         T.StructField("span_idx", T.IntegerType(), False),
         T.StructField("span_type", T.StringType(), False),
         T.StructField("start_turn", T.IntegerType(), True),

@@ -61,9 +61,20 @@ def build_session(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # Arrow batch sizing: 8k rows/batch keeps the JVM→Python feed
+        # pipelined for text-heavy rows (measured: starved workers at 2k
+        # batches with coarse input splits; see BENCH notes)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
+        # pandas-UDF stages want fine-grained input splits so every core has
+        # multiple waves in flight (64MB splits ≈ 4 tasks/core on the bench
+        # corpus); on a real cluster this is the default parquet split size
+        .config("spark.sql.files.maxPartitionBytes", "64m")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # single-JVM local mode multiplexes all task threads' Arrow buffers
+        # through one heap: size it like the SUM of executor heaps, not like
+        # one executor, or GC serializes the workers (measured 74s → 32s on
+        # the wide stage going 8g → 48g)
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

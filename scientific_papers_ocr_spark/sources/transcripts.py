@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .. import fixtures, schemas
 
@@ -22,9 +22,16 @@ def read_transcripts(spark: SparkSession, path: str) -> DataFrame:
 
 def write_partitioned(df: DataFrame, path: str, partition_col: str = "bucket") -> None:
     """Idempotent partition-overwrite write (Iceberg ``overwritePartitions``
-    analog)."""
+    analog).
+
+    The frame is clustered on the partition key first: without it every task
+    writes a file into every partition directory (tasks x buckets small
+    files — measured 40%+ of job wall time); with it each bucket gets one
+    writer.  Iceberg's write.distribution-mode=hash does the same thing.
+    """
     (
-        df.write.mode("overwrite")
+        df.repartition(F.col(partition_col))
+        .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(partition_col)
         .parquet(path)

@@ -1,0 +1,181 @@
+"""Operator tests: dedup / similarity / text analysis / multimodal plumbing /
+reassembly aggregations — verified against straightforward Python references
+on small data."""
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from scientific_papers_ocr_spark.operators import (
+    dedup,
+    documents as docops,
+    multimodal,
+    similarity,
+    text_analysis,
+    turns as turnops,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the cat sat on the mat and looked at the dog"),
+        (1, "the cat sat on the mat and looked at the dog"),   # exact dup of 0
+        (2, "the cat sat on the mat and stared at the dog"),   # near dup
+        (3, "completely different content about spark engines here"),
+        (4, "ZZ top !!! 123 ???"),                              # low quality
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+class TestTextAnalysis:
+    def test_token_count(self, docs):
+        got = {r["doc_id"]: r["n"] for r in docs.select(
+            "doc_id", text_analysis.token_count(F.col("text")).alias("n")).collect()}
+        assert got[0] == 11
+        assert got[4] == 5
+
+    def test_profile_columns(self, docs):
+        prof = text_analysis.profile_documents(docs).collect()
+        by_id = {r["doc_id"]: r for r in prof}
+        assert by_id[0]["lang_pred"] == "en"
+        assert by_id[4]["lang_pred"] == "other"
+        assert by_id[0]["quality"] > by_id[4]["quality"]
+        assert by_id[0]["fingerprint"] == by_id[1]["fingerprint"]
+
+    def test_fingerprint_normalization(self, spark):
+        df = spark.createDataFrame(
+            [(0, "Hello  World"), (1, "hello world "), (2, "hello world!")],
+            ["doc_id", "text"],
+        )
+        fps = [r["f"] for r in df.select(
+            text_analysis.normalized_fingerprint(F.col("text")).alias("f")).collect()]
+        assert fps[0] == fps[1]
+        assert fps[0] != fps[2]
+
+
+class TestDedup:
+    def test_exact_duplicates(self, docs):
+        groups = dedup.exact_duplicates(docs).collect()
+        assert len(groups) == 1
+        assert groups[0]["keep_id"] == 0
+        assert groups[0]["group_size"] == 2
+
+    def test_word_shingles_match_python(self, docs):
+        got = {
+            (r["doc_id"], r["shingle"])
+            for r in dedup.word_shingles(docs.where(F.col("doc_id") == 0), k=3).collect()
+        }
+        words = "the cat sat on the mat and looked at the dog".split()
+        want = {(0, " ".join(words[i:i + 3])) for i in range(len(words) - 2)}
+        assert got == want
+
+    def test_minhash_lsh_finds_near_dups(self, docs):
+        sh = dedup.word_shingles(docs)
+        pairs = {(r["id_a"], r["id_b"]) for r in
+                 dedup.lsh_candidate_pairs(dedup.minhash_signatures(sh)).collect()}
+        assert (0, 1) in pairs          # exact dups share all bands
+        assert (0, 2) in pairs or (1, 2) in pairs  # near dup shares some band
+        assert (0, 3) not in pairs      # unrelated
+
+    def test_jaccard_exact_value(self, docs):
+        sh = dedup.word_shingles(docs)
+        pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+                 for r in dedup.jaccard_pairs(sh, threshold=0.1).collect()}
+        assert pairs[(0, 1)] == 1.0
+        assert 0.3 < pairs[(0, 2)] < 1.0
+
+    def test_simhash_close_for_near_dups(self, docs):
+        sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs, bits=16).collect()}
+        assert sh[0] == sh[1]
+        ham_near = bin(sh[0] ^ sh[2]).count("1")
+        ham_far = bin(sh[0] ^ sh[3]).count("1")
+        assert ham_near < ham_far
+
+
+class TestSimilarity:
+    @pytest.fixture(scope="class")
+    def emb(self, spark):
+        rows = []
+        for i in range(40):
+            vec = [math.sin(i * 0.1 + d) for d in range(8)]
+            rows.append((i, vec))
+        return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    def test_brute_force_topk_matches_python(self, emb):
+        rows = emb.collect()
+        q = rows[0]["embedding"]
+
+        def cos(a, b):
+            dot = sum(x * y for x, y in zip(a, b))
+            return dot / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+
+        want = sorted(
+            ((round(cos(r["embedding"], q), 4), r["vec_id"]) for r in rows),
+            key=lambda t: (-t[0], t[1]),
+        )[:5]
+        got = [(r["cosine"], r["vec_id"]) for r in
+               similarity.brute_force_topk(emb, q, k=5).collect()]
+        assert got == want
+
+    def test_ann_contains_query_itself(self, emb):
+        q = emb.where(F.col("vec_id") == 0).first()["embedding"]
+        got = similarity.ann_topk(emb, list(q), k=5, n_planes=4)
+        ids = [r["vec_id"] for r in got.collect()]
+        assert 0 in ids  # the query vector's own row lands in its bucket
+
+    def test_knn_pairs_shape(self, emb):
+        got = similarity.pairwise_cosine_knn(emb, k=2, bucket_planes=2).collect()
+        assert all(r["rank"] <= 2 for r in got)
+        assert all(r["id_a"] != r["id_b"] for r in got)
+
+
+class TestMultimodal:
+    def test_feature_extraction_roundtrip(self, spark):
+        media = multimodal.synthetic_media(spark, n=12)
+        feats = {r["media_id"]: r for r in multimodal.extract_features(media).collect()}
+        assert len(feats) == 12
+        one = media.where(F.col("media_id") == "m00003").first()
+        payload = bytes(one["payload"])
+        assert feats["m00003"]["content_hash"] == hashlib.md5(payload).hexdigest()
+        assert feats["m00003"]["n_bytes"] == len(payload)
+        want = multimodal._fake_decode_features(payload)
+        assert feats["m00003"]["features"] == pytest.approx(want, abs=1e-6)
+
+    def test_stubs_raise(self, spark):
+        media = multimodal.synthetic_media(spark, n=2)
+        with pytest.raises(NotImplementedError):
+            multimodal.sample_frames(media, every_ms=100)
+
+
+class TestReassembly:
+    def test_flatten_parts_df_order(self, spark):
+        parts = spark.createDataFrame(
+            [("c", 0, 1, "b"), ("c", 0, 0, "a"), ("c", 0, 2, "c")],
+            ["conv_id", "turn_idx", "part_idx", "text"],
+        )
+        got = turnops.flatten_parts_df(parts).collect()
+        assert got[0]["text"] == "a b c"
+
+    def test_salted_reassembly_equals_plain(self, spark):
+        rows = [("c1", i, f"p{i}") for i in range(40)] + [("c2", i, f"q{i}") for i in range(3)]
+        df = spark.createDataFrame(rows, ["conv_id", "turn_idx", "page_text"])
+        plain = {r["conv_id"]: r["doc_text"] for r in docops.reassemble_text(df).collect()}
+        salted = {r["conv_id"]: r["doc_text"]
+                  for r in docops.reassemble_text_salted(df, salt_buckets=4).collect()}
+        assert plain == salted
+        assert plain["c1"] == " ".join(f"p{i}" for i in range(40))
+
+    def test_explode_layout_blocks(self, spark):
+        import json
+        tool = json.dumps([
+            {"level": 1, "block_num": 0, "x": 0, "y": 0, "w": 100, "h": 200, "text": ""},
+            {"level": 2, "block_num": 1, "x": 1, "y": 2, "w": 30, "h": 40, "text": "w"},
+        ])
+        df = spark.createDataFrame([("c", 0, tool)], ["conv_id", "turn_idx", "tool"])
+        got = turnops.explode_layout_blocks(df).collect()
+        assert len(got) == 2
+        lvl2 = [r for r in got if r["level"] == 2][0]
+        assert (lvl2["x"], lvl2["y"], lvl2["w"], lvl2["h"]) == (1, 2, 30, 40)

@@ -1,0 +1,83 @@
+"""Physical-plan assertions — the scale properties are part of the contract:
+no shuffle in the narrow stage, exactly one exchange feeding the wide stage,
+broadcast where a broadcast was asked for, filter/column pushdown into scans.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from scientific_papers_ocr_spark import queries as Q
+from scientific_papers_ocr_spark.operators import documents as docops, turns as turnops
+from scientific_papers_ocr_spark.sources import transcripts as tsrc
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return tsrc.corpus_dataframe(spark, num_convs=8, seed=11)
+
+
+def test_narrow_stage_has_no_exchange(spark, corpus):
+    turns_out = turnops.extract_turns(corpus, num_buckets=8)
+    assert "Exchange" not in _plan(turns_out)
+
+
+def test_wide_stage_has_single_exchange(spark, corpus):
+    docs = docops.assemble_documents(turnops.extract_turns(corpus, num_buckets=8))
+    plan = _plan(docs)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_broadcast_join_is_broadcast(spark):
+    df = Q.q_broadcast_join_agg(spark, SF)
+    assert "BroadcastHashJoin" in _plan(df)
+
+
+def test_anti_join_resume_is_broadcast_anti(spark):
+    df = Q.q_anti_join_resume(spark, SF)
+    plan = _plan(df)
+    assert "LeftAnti" in plan
+    assert "Broadcast" in plan
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = Q.q_pricing_summary(spark, SF)
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_column_pruning_in_scan(spark):
+    df = Q.q_token_count(spark, SF)
+    plan = _plan(df)
+    # only doc_id and text should be read, not lang/source/n_chars
+    assert "ReadSchema" in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "lang" not in read_schema and "n_chars" not in read_schema
+
+
+def test_assembly_input_is_column_pruned(spark, corpus):
+    # the wide stage must not shuffle blocks/clean_text (pruned before the
+    # exchange)
+    docs = docops.assemble_documents(turnops.extract_turns(corpus, num_buckets=8))
+    plan = _plan(docs)
+    after_exchange = plan.split("Exchange hashpartitioning")[1].splitlines()
+    # the first Project below the exchange is what actually gets shuffled;
+    # it must carry only the assembly columns, not the block streams
+    projects = [ln for ln in after_exchange if "Project [" in ln]
+    assert projects, plan
+    assert "blocks" not in projects[0], projects[0]
+    assert "page_text" in projects[0], projects[0]
+
+
+def test_topk_is_take_ordered(spark):
+    df = Q.q_embedding_topk(spark, SF)
+    assert "TakeOrderedAndProject" in _plan(df)

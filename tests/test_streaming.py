@@ -1,0 +1,69 @@
+"""Streaming drop-in test: the narrow extraction stage run via readStream /
+writeStream must produce exactly the batch output (stateless map ⇒
+stream-batch equivalence)."""
+
+import os
+
+import pytest
+
+from scientific_papers_ocr_spark import pipeline
+from scientific_papers_ocr_spark.sources import transcripts as tsrc
+from scientific_papers_ocr_spark.streaming import extraction as stream_ext
+
+
+@pytest.fixture(scope="module")
+def corpus_path(tmp_path_factory):
+    # the file stream source requires a DIRECTORY of files
+    d = tmp_path_factory.mktemp("stream") / "transcripts"
+    d.mkdir()
+    tsrc.ensure_fixture_corpus(str(d / "part-000.parquet"), num_convs=12, seed=3)
+    return str(d)
+
+
+def test_stream_matches_batch(spark, corpus_path, tmp_path):
+    out_path = str(tmp_path / "stream_out")
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_ext.run_stream_to_parquet(spark, corpus_path, out_path, ckpt, num_buckets=8)
+    q.awaitTermination(120)
+
+    got = {
+        (r["conv_id"], r["turn_idx"]): (r["clean_text"], r["status"], r["bucket"])
+        for r in spark.read.parquet(out_path).collect()
+    }
+    batch_df = tsrc.read_transcripts(spark, corpus_path)
+    batch = pipeline.run_pipeline(spark, batch_df, output_dir=None, num_buckets=8)
+    want = {
+        (r["conv_id"], r["turn_idx"]): (r["clean_text"], r["status"], r["bucket"])
+        for r in batch["turns"].collect()
+    }
+    assert got == want
+
+
+def test_stream_restart_is_exactly_once(spark, corpus_path, tmp_path):
+    out_path = str(tmp_path / "stream_out2")
+    ckpt = str(tmp_path / "ckpt2")
+    q1 = stream_ext.run_stream_to_parquet(spark, corpus_path, out_path, ckpt, num_buckets=8)
+    q1.awaitTermination(120)
+    n1 = spark.read.parquet(out_path).count()
+    # restart against the same checkpoint: no new files -> no duplicates
+    q2 = stream_ext.run_stream_to_parquet(spark, corpus_path, out_path, ckpt, num_buckets=8)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out_path).count() == n1
+
+
+def test_windowed_counts_run(spark, corpus_path, tmp_path):
+    stream = stream_ext.stream_transcripts(spark, corpus_path)
+    counts = stream_ext.stream_turn_counts(stream, window="1 hour")
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("turn_counts")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # append mode only emits closed windows; correctness of the counts is
+    # covered by the batch lineage test — here we assert the query runs and
+    # the plan is a legal watermarked streaming aggregation
+    assert not q.isActive
