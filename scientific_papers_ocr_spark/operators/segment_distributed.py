@@ -165,7 +165,11 @@ def section_heads(
             & (F.col("pos") < F.col("ref_start"))
         )
     )
-    clamped = h.where(in_range)
+    # oracle early-return: a document with NEITHER boundary skips the heading
+    # scan entirely and becomes one "Full Text" section (:112-114)
+    clamped = h.where(
+        in_range & ~(F.col("abs_turn").isNull() & F.col("ref_turn").isNull())
+    )
 
     boundary_pages = (
         boundaries.select(
@@ -378,6 +382,172 @@ def references_entries(boundaries: DataFrame, turns_out: DataFrame) -> DataFrame
     return tail_text.mapInPandas(
         parse, schema="conv_id string, ref_number int, raw string"
     )
+
+
+def assemble_documents_distributed(turns_out: DataFrame) -> DataFrame:
+    """DOCS_OUT-shaped document rows built entirely from the distributed
+    parts — the scale twin of ``documents.assemble_documents``.
+
+    Every per-conv aggregation here collects SMALL records (section rows,
+    reference entries, boundary coordinates), never page payloads.  The only
+    exception is the oracle's degenerate fallback (documents with no section
+    headings → one "Full Text" section holding the whole reassembled text),
+    which by definition needs the full document text; those convs — and only
+    those — go through the salted two-level reassembly.
+    """
+    import json as _json
+
+    from . import documents as docops
+    from .. import schemas
+
+    parts = segment_documents_distributed(turns_out)
+    sections, boundaries, refs = parts["sections"], parts["boundaries"], parts["references"]
+
+    conv_info = turns_out.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.min_by("meta_json", "turn_idx").alias("meta_json_any"),
+        F.min("bucket").alias("bucket"),
+    )
+    meta_per_conv = (
+        turns_out.where(F.col("meta_json").isNotNull())
+        .groupBy("conv_id")
+        .agg(F.min_by("meta_json", "turn_idx").alias("meta_json"))
+    )
+
+    sect_arr = sections.groupBy("conv_id").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    "section_key", "start_turn", "start_pos", "end_turn",
+                    "end_pos", "title", "number", "text",
+                )
+            )
+        ).alias("sections")
+    )
+    ref_arr = refs.groupBy("conv_id").agg(
+        F.array_sort(F.collect_list(F.struct("ref_number", "raw"))).alias("references")
+    )
+
+    base = (
+        conv_info.join(meta_per_conv, on="conv_id", how="left")
+        .join(boundaries, on="conv_id", how="left")
+        .join(sect_arr, on="conv_id", how="left")
+        .join(ref_arr, on="conv_id", how="left")
+    )
+
+    # degenerate fallback: no section heads found -> whole-doc "Full Text";
+    # only these convs reassemble full pages (salted two-level concat)
+    fallback_ids = base.where(
+        F.col("sections").isNull() | (F.size("sections") == 0)
+    ).select("conv_id")
+    fallback_text = docops.reassemble_text_salted(
+        turns_out.join(fallback_ids, on="conv_id", how="left_semi")
+    )
+    first_page_len = (
+        turns_out.where(F.col("turn_idx") == 0)
+        .select("conv_id", F.length("page_text").alias("first_len"))
+    )
+    base = base.join(fallback_text, on="conv_id", how="left").join(
+        first_page_len, on="conv_id", how="left"
+    )
+
+    def finish(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..oracle import assembly
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                meta = _json.loads(r.meta_json) if isinstance(r.meta_json, str) else None
+                title = (meta or {}).get("title")
+                authors = assembly._author_tuples(meta)
+                creation_date = (meta or {}).get("creation_date")
+
+                if r.sections is None or len(r.sections) == 0:
+                    sec_dict = {
+                        1: {
+                            "start_page": 0, "start_pos": 0, "end_page": 0,
+                            "end_pos": int(r.first_len or 0),
+                            "text": r.doc_text or "", "title": "Full Text",
+                            "number": "1",
+                        }
+                    }
+                else:
+                    sec_dict = {
+                        int(s["section_key"]): {
+                            "start_page": int(s["start_turn"]),
+                            "start_pos": int(s["start_pos"]),
+                            "end_page": int(s["end_turn"]),
+                            "end_pos": int(s["end_pos"]),
+                            "text": s["text"], "title": s["title"],
+                            "number": s["number"],
+                        }
+                        for s in r.sections
+                    }
+                abstract = None
+                if r.abs_turn is not None and not pd.isna(r.abs_turn):
+                    abstract = {
+                        "start_page": int(r.abs_turn), "start_pos": int(r.abs_start),
+                        "end_page": int(r.abs_turn), "end_pos": int(r.abs_end),
+                        "title": r.abs_title, "text": r.abs_text,
+                    }
+                references = None
+                if r.ref_turn is not None and not pd.isna(r.ref_turn):
+                    references = {
+                        "start_page": int(r.ref_turn), "start_pos": int(r.ref_start),
+                        "heading_pos": int(r.ref_heading_pos), "title": r.ref_title,
+                        "entries": {
+                            int(e["ref_number"]): e["raw"]
+                            for e in (
+                                r.references if r.references is not None else []
+                            )
+                        },
+                    }
+                transcription = assembly.generate_transcription(
+                    sec_dict, title, authors, abstract, references,
+                    include_references=True,
+                )
+                edoc_json = _json.dumps(
+                    assembly.edoc_dict(
+                        sec_dict, title, authors, creation_date, abstract,
+                        references, conv_id=r.conv_id,
+                    ),
+                    indent=4,
+                )
+                sections_out = [
+                    {
+                        "section_key": k,
+                        "start": {"turn_idx": s["start_page"], "pos": s["start_pos"]},
+                        "end": {"turn_idx": s["end_page"], "pos": s["end_pos"]},
+                        "title": s["title"], "number": s["number"], "text": s["text"],
+                    }
+                    for k, s in sec_dict.items()
+                ]
+                refs_out = (
+                    [
+                        {"ref_number": n, "raw": raw}
+                        for n, raw in sorted(references["entries"].items())
+                    ]
+                    if references
+                    else []
+                )
+                rows.append(
+                    {
+                        "conv_id": r.conv_id,
+                        "title": title,
+                        "transcription": transcription,
+                        "edoc_json": edoc_json,
+                        "abstract_text": abstract["text"] if abstract else None,
+                        "sections": sections_out,
+                        "references": refs_out,
+                        "n_sections": len(sections_out),
+                        "n_refs": len(refs_out),
+                        "n_turns": int(r.n_turns),
+                        "bucket": int(r.bucket),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return base.mapInPandas(finish, schema=schemas.DOCS_OUT)
 
 
 def segment_documents_distributed(turns_out: DataFrame) -> dict[str, DataFrame]:

@@ -47,8 +47,9 @@ def test_sections_match(whole_doc, distributed):
     for cid, doc in whole_doc.items():
         want = {s["section_key"]: s for s in doc["sections"]}
         if len(want) == 1 and list(want.values())[0]["title"] == "Full Text":
-            # degenerate fallback is whole-doc by design
-            assert cid not in distributed["sections"] or True
+            # degenerate fallback: the distributed section table must be
+            # empty for these convs (the assembler adds the Full Text row)
+            assert cid not in distributed["sections"], cid
             continue
         got = distributed["sections"].get(cid, {})
         assert set(got.keys()) == set(want.keys()), f"{cid}: keys {set(got)} != {set(want)}"
@@ -85,6 +86,27 @@ def test_abstract_boundaries_match(whole_doc, distributed):
             assert b is not None and b["abs_text"] == doc["abstract_text"], cid
             checked += 1
     assert checked > 10
+
+
+def test_assemble_documents_distributed_full_parity(turns_out, whole_doc):
+    got = {
+        r["conv_id"]: r
+        for r in dist.assemble_documents_distributed(turns_out).collect()
+    }
+    assert set(got) == set(whole_doc)
+    for cid, w in whole_doc.items():
+        g = got[cid]
+        assert g["transcription"] == w["transcription"], cid
+        assert g["edoc_json"] == w["edoc_json"], cid
+        assert g["title"] == w["title"], cid
+        assert g["abstract_text"] == w["abstract_text"], cid
+        assert g["n_sections"] == w["n_sections"], cid
+        assert g["n_refs"] == w["n_refs"], cid
+        assert g["n_turns"] == w["n_turns"], cid
+        assert g["bucket"] == w["bucket"], cid
+        assert sorted(s["section_key"] for s in g["sections"]) == sorted(
+            s["section_key"] for s in w["sections"]
+        ), cid
 
 
 def test_no_whole_conversation_shuffle(spark, turns_out):
