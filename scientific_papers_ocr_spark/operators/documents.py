@@ -227,9 +227,9 @@ def reassemble_text(turns_out: DataFrame) -> DataFrame:
     texts joined with a single space in turn order, deterministic via
     ``array_sort(collect_list(struct(...)))``.
 
-    Reference: check_transcription.py:104-118.  This is the salger-scale
-    fallback for plain text reassembly of mega-conversations — a two-level
-    (salted partial concat → final concat) variant is in ``reassemble_text_salted``.
+    Reference: check_transcription.py:104-118.  For mega-conversations whose
+    single aggregation state would outgrow an executor, use the two-level
+    (salted partial concat → final concat) variant ``reassemble_text_salted``.
     """
     return turns_out.groupBy("conv_id").agg(
         F.array_join(
