@@ -200,10 +200,10 @@ def write_baseline_md(
             "| config | wall sec | turns/sec |\n|---|---|---|\n"
             f"| local[{flow['cores']}] | {flow['sec']} | {flow['turns_per_sec']} |\n"
             f"| local[{fhigh['cores']}] | {fhigh['sec']} | {fhigh['turns_per_sec']} |\n\n"
-            f"Full-pipeline efficiency {feff:.3f}: ~17s of the job is parquet\n"
-            "encode + write to the sandbox's ONE shared disk, identical at\n"
-            "every core count (Amdahl: eff = (c/4+f)/(c/4+4f) with compute c,\n"
-            "fixed f).  On a real cluster the write side scales with\n"
+            f"Full-pipeline efficiency {feff:.3f}: the parquet encode + write\n"
+            "to the sandbox's ONE shared disk is a near-constant-time\n"
+            "component at every core count (Amdahl: eff = (c/4+f)/(c/4+4f)\n"
+            "with compute c, fixed f).  On a real cluster the write side scales with\n"
             "executors (local-SSD shuffle, aggregate object-store bandwidth;\n"
             "Iceberg writers are per-partition), so the extraction-stage\n"
             "number above is the faithful N-vs-4N signal this sandbox can\n"

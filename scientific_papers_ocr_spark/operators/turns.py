@@ -24,12 +24,14 @@ from .. import schemas
 from ..oracle import assembly, layout, markup
 
 
-def _process_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+def _process_batch(pdf: pd.DataFrame, with_blocks: bool = False) -> pd.DataFrame:
     out: dict[str, list] = {
         "conv_id": [], "turn_idx": [], "page_text": [], "clean_text": [],
         "status": [], "n_blocks": [], "n_incomplete_blocks": [],
-        "min_score": [], "blocks": [], "meta_json": [],
+        "min_score": [], "meta_json": [],
     }
+    if with_blocks:
+        out["blocks"] = []
     for conv_id, turn_idx, text, tool in zip(
         pdf["conv_id"], pdf["turn_idx"], pdf["text"], pdf["tool"]
     ):
@@ -53,32 +55,51 @@ def _process_batch(pdf: pd.DataFrame) -> pd.DataFrame:
         out["n_blocks"].append(len(blocks))
         out["n_incomplete_blocks"].append(len(verdict["incomplete_blocks"]))
         out["min_score"].append(min(scores.values()) if scores else None)
-        out["blocks"].append(
-            [{"block_type": b["type"], "content": b["content"]} for b in blocks]
-        )
+        if with_blocks:
+            out["blocks"].append(
+                [{"block_type": b["type"], "content": b["content"]} for b in blocks]
+            )
         out["meta_json"].append(json.dumps(meta) if meta is not None else None)
-    return pd.DataFrame(out)
+    columns = list(out.keys())
+    if with_blocks:  # schema order: blocks before meta_json
+        columns = [c for c in columns if c not in ("blocks", "meta_json")] + [
+            "blocks", "meta_json",
+        ]
+    return pd.DataFrame(out)[columns]
 
 
-def extract_turns(transcripts: DataFrame, num_buckets: int = 64) -> DataFrame:
+def extract_turns(
+    transcripts: DataFrame, num_buckets: int = 64, with_blocks: bool = False
+) -> DataFrame:
     """Transcripts → per-turn extraction records (narrow; zero shuffles).
 
     ``bucket`` — the lineage/commit partition key — is computed JVM-side as
     ``crc32(conv_id) % num_buckets`` so both engines (and the resume
     anti-join) agree on it without Python round-trips.
+
+    ``with_blocks=True`` additionally materialises the tokenized block
+    stream per turn; the default leaves it compute-on-read (the block split
+    is computed either way for ``clean_text``; only Arrow transfer + storage
+    of the stream is optional).
     """
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf):
-                yield _process_batch(pdf)
+                yield _process_batch(pdf, with_blocks=with_blocks)
 
+    schema = schemas.TURNS_CORE_BLOCKS if with_blocks else schemas.TURNS_CORE
     cols = ["conv_id", "turn_idx", "text", "tool"]
-    result = transcripts.select(*cols).mapInPandas(process, schema=schemas.TURNS_CORE)
+    result = transcripts.select(*cols).mapInPandas(process, schema=schema)
     return result.withColumn(
         "bucket",
         F.pmod(F.crc32(F.col("conv_id")), F.lit(num_buckets)).cast("int"),
     )
+
+
+def tokenize_blocks(transcripts: DataFrame, num_buckets: int = 64) -> DataFrame:
+    """Typed block-stream table on demand (the opt-in heavy column)."""
+    return extract_turns(transcripts, num_buckets=num_buckets, with_blocks=True)
 
 
 def repair_parts(transcripts: DataFrame) -> DataFrame:

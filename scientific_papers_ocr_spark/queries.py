@@ -619,6 +619,52 @@ def q_assemble_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out["docs"].select("conv_id", "n_sections", "n_refs", "n_turns", "transcription")
 
 
+def q_block_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T20/T21 typed block tokenization (opt-in heavy column) exploded to one
+    row per block.  Python-regex semantics → rows-only check."""
+    tr = documents_as_transcripts(spark, sf_dir)
+    out = turns.tokenize_blocks(tr, num_buckets=16)
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        F.posexplode("blocks").alias("block_idx", "b"),
+    ).select(
+        "conv_id",
+        "turn_idx",
+        "block_idx",
+        F.col("b.block_type").alias("block_type"),
+        F.length("b.content").alias("content_len"),
+    )
+
+
+def q_rich_text_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T18/T19 inline rich-text span tokenization (equation/code/bold/italic
+    state machine) over driver documents.  Rows-only check."""
+    import pandas as pd
+
+    from .oracle import markup
+
+    def tokenize(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                for i, tok in enumerate(markup.rich_text_tokens(text or "")):
+                    rows.append(
+                        (int(doc_id), i, tok["span_type"], tok["annotation"],
+                         len(tok["content"]))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "token_idx", "span_type", "annotation", "content_len"],
+            )
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", "text").mapInPandas(
+        tokenize,
+        schema="doc_id long, token_idx int, span_type string, annotation string, content_len int",
+    )
+
+
 def q_layout_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G1 block classification + A2 bbox union over a synthetic layout table
     derived deterministically from lineitem geometry columns."""
@@ -715,4 +761,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "embedding_knn_pairs": (q_embedding_knn_pairs, None),
     "extract_turns": (q_extract_turns, None),
     "assemble_docs": (q_assemble_docs, None),
+    "block_stream": (q_block_stream, None),
+    "rich_text_spans": (q_rich_text_spans, None),
 }

@@ -33,6 +33,10 @@ SPAN_TOKEN = T.StructType(
     ]
 )
 
+# Default turns table: the per-turn extraction products.  The tokenized
+# block stream (``blocks``) is OPT-IN: at 10^12-turn scale it triples the
+# output lake and the Arrow/write bandwidth for a column most consumers
+# derive on read (``extract_turns(with_blocks=True)`` / ``tokenize_blocks``).
 TURNS_OUT = T.StructType(
     [
         T.StructField("conv_id", T.StringType(), False),
@@ -43,14 +47,22 @@ TURNS_OUT = T.StructType(
         T.StructField("n_blocks", T.IntegerType(), False),
         T.StructField("n_incomplete_blocks", T.IntegerType(), False),
         T.StructField("min_score", T.IntegerType(), True),
-        T.StructField("blocks", T.ArrayType(BLOCK), True),
         T.StructField("meta_json", T.StringType(), True),
         T.StructField("bucket", T.IntegerType(), False),
     ]
 )
 
+TURNS_OUT_BLOCKS = T.StructType(
+    TURNS_OUT.fields[:-2]
+    + [T.StructField("blocks", T.ArrayType(BLOCK), True)]
+    + TURNS_OUT.fields[-2:]
+)
+
 # mapInPandas output (bucket added afterwards JVM-side from conv_id)
 TURNS_CORE = T.StructType([f for f in TURNS_OUT.fields if f.name != "bucket"])
+TURNS_CORE_BLOCKS = T.StructType(
+    [f for f in TURNS_OUT_BLOCKS.fields if f.name != "bucket"]
+)
 
 # Repair parts table: (conv, turn, part) composite key
 PARTS_OUT = T.StructType(

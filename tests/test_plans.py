@@ -64,10 +64,17 @@ def test_column_pruning_in_scan(spark):
     assert "lang" not in read_schema and "n_chars" not in read_schema
 
 
+def test_blocks_column_is_opt_in(spark, corpus):
+    assert "blocks" not in turnops.extract_turns(corpus, num_buckets=8).columns
+    assert "blocks" in turnops.tokenize_blocks(corpus, num_buckets=8).columns
+
+
 def test_assembly_input_is_column_pruned(spark, corpus):
     # the wide stage must not shuffle blocks/clean_text (pruned before the
-    # exchange)
-    docs = docops.assemble_documents(turnops.extract_turns(corpus, num_buckets=8))
+    # exchange) even when the heavy block column was materialised
+    docs = docops.assemble_documents(
+        turnops.extract_turns(corpus, num_buckets=8, with_blocks=True)
+    )
     plan = _plan(docs)
     after_exchange = plan.split("Exchange hashpartitioning")[1].splitlines()
     # the first Project below the exchange is what actually gets shuffled;
