@@ -619,6 +619,29 @@ def q_assemble_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out["docs"].select("conv_id", "n_sections", "n_refs", "n_turns", "transcription")
 
 
+def q_edoc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10/S11 EDocument JSON serde round-trip: docs' ``edoc_json`` parsed
+    back with an explicit StructType (from_json) and re-projected — verifies
+    the schema-ed read path of the rich-document table.  Rows-only check."""
+    tr = documents_as_transcripts(spark, sf_dir)
+    docs = pipeline.run_pipeline(spark, tr, output_dir=None, num_buckets=16)["docs"]
+    edoc_schema = (
+        "struct<metadata:struct<title:string,pdf_filename:string,"
+        "creation_date:double,"
+        "authors:array<struct<surname:string,given_name:string>>>>"
+    )
+    parsed = docs.select(
+        "conv_id",
+        F.from_json(F.col("edoc_json"), edoc_schema).alias("edoc"),
+    )
+    return parsed.select(
+        "conv_id",
+        F.col("edoc.metadata.title").alias("meta_title"),
+        F.col("edoc.metadata.pdf_filename").alias("pdf_filename"),
+        F.size(F.coalesce("edoc.metadata.authors", F.array())).alias("n_authors"),
+    )
+
+
 def q_block_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T20/T21 typed block tokenization (opt-in heavy column) exploded to one
     row per block.  Python-regex semantics → rows-only check."""
@@ -763,4 +786,5 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "assemble_docs": (q_assemble_docs, None),
     "block_stream": (q_block_stream, None),
     "rich_text_spans": (q_rich_text_spans, None),
+    "edoc_roundtrip": (q_edoc_roundtrip, None),
 }

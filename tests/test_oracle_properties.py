@@ -1,0 +1,107 @@
+"""Property-based tests (hypothesis) for the oracle's stateful text
+machinery — invariants that must hold on arbitrary input, not just fixtures."""
+
+import re
+import string
+
+from hypothesis import given, settings, strategies as st
+
+from scientific_papers_ocr_spark.oracle import katex, markup, probes, segmentation, textnorm
+
+TEXTISH = st.text(
+    alphabet=string.ascii_letters + string.digits + " \n*_`\\[]().#$%&",
+    max_size=400,
+)
+WORDS = st.text(alphabet=string.ascii_lowercase, min_size=1, max_size=10)
+
+
+@settings(max_examples=200, deadline=None)
+@given(TEXTISH)
+def test_squash_idempotent(text):
+    once = textnorm.squash_newlines(text)
+    assert textnorm.squash_newlines(once) == once
+    assert "\n\n\n" not in once
+
+
+@settings(max_examples=200, deadline=None)
+@given(TEXTISH)
+def test_math_positions_alternate(text):
+    opens, closes = markup.math_block_positions(text)
+    if opens is None:
+        assert closes is None
+        return
+    # validated delimiters strictly alternate and pair off in order
+    assert len(closes) <= len(opens) <= len(closes) + 1
+    for o, c in zip(opens, closes):
+        assert o < c
+    for c, o_next in zip(closes, opens[1:]):
+        assert c <= o_next
+
+
+@settings(max_examples=200, deadline=None)
+@given(TEXTISH, st.integers(min_value=20, max_value=200))
+def test_chunker_reconstructs_exactly(text, max_size):
+    chunks = markup.chunk_text(text, max_size=max_size)
+    assert "".join(chunks) == text
+    assert all(c != "" for c in chunks) or text == ""
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(WORDS, max_size=40))
+def test_probe_sentences_are_substrings(words):
+    text = " ".join(words)
+    for probe in probes.probe_sentences(text, sentence_length=4, limit=5, min_word_len=2):
+        assert probe in text
+        # reference quirk: rejection-driven pos advance can leave a trailing
+        # window SHORTER than sentence_length, and it is still accepted
+        # (static_method_classes.py:171-213 — the range() bound caps
+        # iterations, not window length)
+        assert 1 <= len(probe.split()) <= 4
+
+
+@settings(max_examples=200, deadline=None)
+@given(TEXTISH)
+def test_probe_score_bounds(block):
+    s = probes.presence_score(block, block)
+    assert s in (-1, 0, 1, 2, 3)
+    if s >= 0:
+        # every extracted probe is inside the block itself → full score
+        assert s == 3
+
+
+@settings(max_examples=200, deadline=None)
+@given(TEXTISH)
+def test_katex_balances_left_right(text):
+    out = katex.normalize_katex(text)
+    lefts = len(re.findall(r"\\left([(\[{|.\\])", out))
+    rights = len(re.findall(r"\\right([)\]}|.\\])", out))
+    assert lefts == rights
+
+
+@settings(max_examples=200, deadline=None)
+@given(TEXTISH)
+def test_blocks_never_empty_content(text):
+    for b in markup.split_markdown_into_blocks(text):
+        if b["type"] == markup.TEXT:
+            assert b["content"] != ""
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(TEXTISH, min_size=1, max_size=6))
+def test_segment_document_total(pages):
+    """Segmentation must never crash and always yields >= 1 section."""
+    seg = segmentation.segment_document(pages)
+    assert len(seg["sections"]) >= 1
+    for s in seg["sections"].values():
+        assert isinstance(s["title"], str)
+        assert isinstance(s["number"], str)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(WORDS, min_size=1, max_size=8))
+def test_rich_text_roundtrip_plain(words):
+    """Plain text (no markup chars) must come back as one untagged token."""
+    text = " ".join(words)
+    toks = markup.rich_text_tokens(text)
+    assert [t["annotation"] for t in toks] == [None] * len(toks)
+    assert "".join(t["content"] for t in toks) == text
