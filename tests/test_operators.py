@@ -179,3 +179,37 @@ class TestReassembly:
         assert len(got) == 2
         lvl2 = [r for r in got if r["level"] == 2][0]
         assert (lvl2["x"], lvl2["y"], lvl2["w"], lvl2["h"]) == (1, 2, 30, 40)
+
+
+class TestFixtureGenerators:
+    def test_spark_corpus_equals_driver_corpus(self, spark):
+        """The distributed generator must be row-identical to the driver-side
+        one for the same seed (bench corpora are reproducible across rounds)."""
+        from scientific_papers_ocr_spark import fixtures
+
+        driver_rows = {
+            (r["conv_id"], r["turn_idx"]): (r["role"], r["text"], r["tool"])
+            for r in fixtures.generate_corpus(num_convs=11, seed=5)
+        }
+        spark_rows = {
+            (r["conv_id"], r["turn_idx"]): (r["role"], r["text"], r["tool"])
+            for r in fixtures.spark_corpus(spark, 11, seed=5).collect()
+        }
+        assert spark_rows == driver_rows
+
+    def test_spark_corpus_rerun_is_identical(self, spark):
+        a = sorted(
+            (r["conv_id"], r["turn_idx"], r["text"])
+            for r in fixtures_mod().spark_corpus(spark, 7, seed=9, zipf_max_turns=30).collect()
+        )
+        b = sorted(
+            (r["conv_id"], r["turn_idx"], r["text"])
+            for r in fixtures_mod().spark_corpus(spark, 7, seed=9, zipf_max_turns=30).collect()
+        )
+        assert a == b
+
+
+def fixtures_mod():
+    from scientific_papers_ocr_spark import fixtures
+
+    return fixtures
