@@ -619,6 +619,46 @@ def q_assemble_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out["docs"].select("conv_id", "n_sections", "n_refs", "n_turns", "transcription")
 
 
+def q_citation_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-entry field extraction (T7 + elaborator parse analog):
+    IEEE-ish citation strings synthesised from the part table, then title /
+    venue / year extracted back with engine-portable regexes."""
+    p = _t(spark, sf_dir, "part")
+    raw = F.format_string(
+        '[%d] A. Alpha, and B. Beta, "%s," _IEEE Trans. %s_, vol. %d, '
+        "no. 2, pp. 1-9, %d.",
+        F.col("p_partkey"),
+        F.col("p_name"),
+        F.col("p_brand"),
+        (F.col("p_size") % 50) + 1,
+        (F.col("p_partkey") % 30) + 1990,
+    )
+    w = p.select("p_partkey", raw.alias("raw"))
+    return w.select(
+        "p_partkey",
+        F.regexp_extract("raw", '"(.+?),?"', 1).alias("title"),
+        F.regexp_extract("raw", "_([^_]+)_", 1).alias("venue"),
+        F.regexp_extract("raw", "((?:19|20)\\d{2})\\.$", 1).cast("int").alias("year"),
+        F.regexp_extract("raw", "^\\[(\\d+)\\]", 1).cast("int").alias("ref_number"),
+    )
+
+
+SQL_CITATION_PARSE = """
+WITH w AS (
+  SELECT p_partkey,
+         printf('[%d] A. Alpha, and B. Beta, "%s," _IEEE Trans. %s_, vol. %d, no. 2, pp. 1-9, %d.',
+                p_partkey, p_name, p_brand, (p_size % 50) + 1, (p_partkey % 30) + 1990) AS raw
+  FROM part
+)
+SELECT p_partkey,
+       regexp_extract(raw, '"(.+?),?"', 1) AS title,
+       regexp_extract(raw, '_([^_]+)_', 1) AS venue,
+       CAST(regexp_extract(raw, '((?:19|20)\\d{2})\\.$', 1) AS INT) AS year,
+       CAST(regexp_extract(raw, '^\\[(\\d+)\\]', 1) AS INT) AS ref_number
+FROM w
+"""
+
+
 def q_edoc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S10/S11 EDocument JSON serde round-trip: docs' ``edoc_json`` parsed
     back with an explicit StructType (from_json) and re-projected — verifies
@@ -778,6 +818,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "simhash": (q_simhash, SQL_SIMHASH),
     "embedding_topk": (q_embedding_topk, SQL_EMBEDDING_TOPK),
     "layout_blocks": (q_layout_blocks, SQL_LAYOUT_BLOCKS),
+    "citation_parse": (q_citation_parse, SQL_CITATION_PARSE),
     # rows-only (non-SQL-expressible: Python-regex pandas-UDF semantics /
     # projection hashing)
     "ann_topk": (q_ann_topk, None),

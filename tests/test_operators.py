@@ -213,3 +213,37 @@ def fixtures_mod():
     from scientific_papers_ocr_spark import fixtures
 
     return fixtures
+
+
+class TestReferences:
+    def test_parse_citation_ieee(self):
+        from scientific_papers_ocr_spark.operators.references import parse_citation
+
+        raw = ('[3] Z. Yu, J. A. Mix, and J. Fan, "An improved dipole-moment '
+               'model," _IEEE Trans. Electromagn. Comput._, vol. 55, no. 1, '
+               "pp. 97-108, Feb. 2013.")
+        got = parse_citation(raw)
+        assert got["title"] == "An improved dipole-moment model"
+        assert got["year"] == 2013
+        assert got["venue"] == "IEEE Trans. Electromagn. Comput."
+        assert got["authors"] == ["Z. Yu", "J. A. Mix", "J. Fan"]
+
+    def test_parse_citation_degenerate(self):
+        from scientific_papers_ocr_spark.operators.references import parse_citation
+
+        got = parse_citation("just some raw text with no structure")
+        assert got["title"] is None and got["year"] is None
+
+    def test_enrich_references_df(self, spark):
+        from scientific_papers_ocr_spark.operators.references import enrich_references
+
+        df = spark.createDataFrame(
+            [("c1", 1, '[1] A. One, "t one," _V._, vol. 1, no. 1, pp. 1-2, 2001.'),
+             ("c1", 2, "unparseable")],
+            ["conv_id", "ref_number", "raw"],
+        )
+        rows = {r["ref_number"]: r for r in enrich_references(df).collect()}
+        assert rows[1]["title"] == "t one"
+        assert rows[1]["year"] == 2001
+        assert rows[1]["doi"] is None  # enrichment seam stays null
+        assert rows[2]["title"] is None
