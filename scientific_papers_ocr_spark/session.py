@@ -69,6 +69,10 @@ def build_session(
         # multiple waves in flight (64MB splits ≈ 4 tasks/core on the bench
         # corpus); on a real cluster this is the default parquet split size
         .config("spark.sql.files.maxPartitionBytes", "64m")
+        # zstd: measured identical write wall-time vs snappy on this host but
+        # ~30% smaller output (973MB vs 1374MB on the bench pipeline) — at
+        # lake scale that is 30% less stored and downstream-scanned bytes
+        .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.sql.session.timeZone", "UTC")
         # single-JVM local mode multiplexes all task threads' Arrow buffers
         # through one heap: size it like the SUM of executor heaps, not like
