@@ -254,6 +254,13 @@ def generate_corpus(
                 ],
                 "creation_date": float(1_500_000_000 + conv_rng.randrange(10**9)),
             }
+            if c % 2 == 0:
+                # raw PDF-metadata keyword string (mixed , and ; separators,
+                # hyphens/extra spaces exercise capitalize_name) — T16
+                meta["keywords"] = (
+                    f"{_words(conv_rng, 2)}; {conv_rng.choice(_VOCAB)}-based , "
+                    f"{_words(conv_rng, 1)}"
+                )
         rows.extend(_conv_rows(conv_id, c, shape, pages, meta, conv_rng))
     if mega_conv_turns > 0:
         conv_rng = random.Random((seed << 21) ^ 7)

@@ -24,7 +24,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from .. import schemas
-from ..oracle import assembly, segmentation
+from ..oracle import assembly, segmentation, textnorm
 
 
 def prune_for_assembly(turns_out: DataFrame) -> DataFrame:
@@ -62,6 +62,7 @@ def _assemble_rows(
         assembly.edoc_dict(
             seg["sections"], title, authors, creation_date,
             seg["abstract"], seg["references"], conv_id=conv_id,
+            keywords=textnorm.split_keywords((meta or {}).get("keywords")),
         ),
         indent=4,
     )

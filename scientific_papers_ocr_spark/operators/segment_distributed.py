@@ -35,7 +35,7 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
-from ..oracle import segmentation
+from ..oracle import segmentation, textnorm
 
 _HITS_SCHEMA = (
     "conv_id string, turn_idx int, kind string, rank int, pos int, title string"
@@ -510,6 +510,7 @@ def assemble_documents_distributed(turns_out: DataFrame) -> DataFrame:
                     assembly.edoc_dict(
                         sec_dict, title, authors, creation_date, abstract,
                         references, conv_id=r.conv_id,
+                        keywords=textnorm.split_keywords((meta or {}).get("keywords")),
                     ),
                     indent=4,
                 )

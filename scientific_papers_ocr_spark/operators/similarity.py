@@ -5,26 +5,38 @@ Baseline: brute-force cosine top-k as pure column expressions
 Scale path: LSH bucketing via deterministic signed random projections so
 the candidate set shrinks before exact scoring (IVF-style routing is the
 same shape: route to nearest centroid bucket, score within bucket).
+
+The projection weights are *portable hashes* — ``md5("rp:<plane>:<dim>")``
+nibbles mapped to [-1, 1) — computed entirely JVM-side (``transform`` with
+the element index), so:
+- no driver-side ``collect``/``first`` anywhere (the query vector joins in
+  as a broadcast single-row dim table and its bucket is computed on that
+  one broadcast row);
+- the exact same formula runs in any engine with md5 (the DuckDB oracle
+  reproduces buckets bit-for-bit);
+- at 100 TB the bucket id is a materialised partition column and the probe
+  filter becomes partition pruning.
 """
 
 from __future__ import annotations
 
-import hashlib
-import math
+from pyspark.sql import Column, DataFrame, functions as F
 
-from pyspark.sql import DataFrame, functions as F
+_HEX = "0123456789abcdef"
 
 
 def _dot(a, b):
     return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
 
 
 def _norm(a):
-    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
 
 
 def cosine_to_query(df: DataFrame, query_vec: list[float], vec_col: str = "embedding") -> DataFrame:
@@ -51,38 +63,53 @@ def brute_force_topk(
     )
 
 
-def _projection_matrix(dim: int, n_planes: int, seed: str = "rp") -> list[list[float]]:
-    """Deterministic pseudo-random hyperplanes from md5 bytes (no RNG state;
-    reproducible across drivers/executors/rounds)."""
-    planes = []
-    for p in range(n_planes):
-        vals: list[float] = []
-        counter = 0
-        while len(vals) < dim:
-            h = hashlib.md5(f"{seed}:{p}:{counter}".encode()).digest()
-            for i in range(0, 16, 2):
-                u = int.from_bytes(h[i : i + 2], "big") / 65535.0
-                vals.append(2.0 * u - 1.0)
-            counter += 1
-        planes.append(vals[:dim])
-    return planes
+def _plane_weight(p: int, idx: Column) -> Column:
+    """Deterministic pseudo-random weight in [-1, 1) for (plane ``p``,
+    0-based dim index ``idx``): the first 4 md5 nibbles of ``rp:<p>:<idx>``
+    as a 16-bit uint, affinely mapped.  Pure JVM expression."""
+    h = F.md5(F.format_string(f"rp:{p}:%d", idx))
+    v = F.lit(0)
+    for j in range(4):
+        v = v + (F.instr(F.lit(_HEX), F.substring(h, j + 1, 1)) - 1) * (16 ** (3 - j))
+    return v / F.lit(32767.5) - F.lit(1.0)
 
 
-def lsh_bucket(df: DataFrame, dim: int, n_planes: int = 8, vec_col: str = "embedding") -> DataFrame:
-    """Signed-random-projection bucket id per row: ``n_planes`` sign bits
-    packed into an int.  Narrow column math; bucketing the table by this id
-    gives the ANN candidate partitioning."""
+def bucket_expr(vec: Column, n_planes: int) -> Column:
+    """Signed-random-projection bucket id: ``n_planes`` sign bits packed into
+    an int.  No dimension parameter — weights are generated per element index
+    inside ``transform``, so the expression works for any array length."""
+    def weigh(p: int):
+        return lambda x, i: x.cast("double") * _plane_weight(p, i)
+
     bucket = F.lit(0)
-    for p, plane in enumerate(_projection_matrix(dim, n_planes)):
-        pv = F.array(*[F.lit(x) for x in plane])
-        bit = F.when(_dot(F.col(vec_col), pv) >= 0, F.lit(1)).otherwise(F.lit(0))
-        bucket = bucket + bit * (2 ** p)
-    return df.withColumn("lsh_bucket", bucket.cast("int"))
+    for p in range(n_planes):
+        dot = F.aggregate(
+            F.transform(vec, weigh(p)), F.lit(0.0), lambda acc, v: acc + v
+        )
+        bucket = bucket + F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)) * (2 ** p)
+    return bucket.cast("int")
+
+
+def lsh_bucket(df: DataFrame, n_planes: int = 8, vec_col: str = "embedding") -> DataFrame:
+    """Attach the LSH bucket id column (narrow column math; bucketing the
+    table by this id gives the ANN candidate partitioning)."""
+    return df.withColumn("lsh_bucket", bucket_expr(F.col(vec_col), n_planes))
+
+
+def _hamming(a: Column, b: Column, n_planes: int) -> Column:
+    bits = [
+        (a.bitwiseAND(F.lit(1 << p)) != b.bitwiseAND(F.lit(1 << p))).cast("int")
+        for p in range(n_planes)
+    ]
+    out = bits[0]
+    for x in bits[1:]:
+        out = out + x
+    return out
 
 
 def ann_topk(
     df: DataFrame,
-    query_vec: list[float],
+    query: DataFrame | list[float],
     k: int = 10,
     n_planes: int = 6,
     id_col: str = "vec_id",
@@ -91,30 +118,50 @@ def ann_topk(
 ) -> DataFrame:
     """Approximate top-k: restrict exact scoring to rows whose LSH bucket is
     within ``probe_hamming`` bits of the query's bucket (multi-probe), then
-    brute-force inside the candidate set.  At 100 TB the bucket filter is a
-    partition-pruning predicate on a bucket-partitioned table."""
-    dim = len(query_vec)
-    planes = _projection_matrix(dim, n_planes)
-    qbits = [1 if sum(a * b for a, b in zip(plane, query_vec)) >= 0 else 0 for plane in planes]
-    qbucket = sum(bit << p for p, bit in enumerate(qbits))
-    probe = {qbucket}
-    if probe_hamming >= 1:
-        for p in range(n_planes):
-            probe.add(qbucket ^ (1 << p))
-    bucketed = lsh_bucket(df, dim, n_planes=n_planes, vec_col=vec_col)
-    candidates = bucketed.where(F.col("lsh_bucket").isin(*sorted(probe)))
-    return brute_force_topk(candidates, query_vec, k=k, id_col=id_col, vec_col=vec_col)
+    brute-force inside the candidate set.
+
+    ``query`` is either a single-row DataFrame whose first column is the
+    query vector (preferred — it broadcasts, its bucket is computed on the
+    broadcast row, and nothing touches the driver) or a literal list.  At
+    100 TB the bucket filter is a partition-pruning predicate on a
+    bucket-partitioned table.
+    """
+    bucketed = lsh_bucket(df, n_planes=n_planes, vec_col=vec_col)
+    if isinstance(query, DataFrame):
+        qdim = query.select(
+            F.col(query.columns[0]).alias("qvec")
+        ).withColumn("q_bucket", bucket_expr(F.col("qvec"), n_planes))
+        with_q = bucketed.crossJoin(F.broadcast(qdim))
+    else:
+        qvec = F.array(*[F.lit(float(x)) for x in query])
+        with_q = bucketed.withColumn("qvec", qvec).withColumn(
+            "q_bucket", bucket_expr(qvec, n_planes)
+        )
+    cand = with_q.where(
+        _hamming(F.col("lsh_bucket"), F.col("q_bucket"), n_planes) <= probe_hamming
+    )
+    v = F.col(vec_col)
+    return (
+        cand.select(
+            id_col,
+            F.round(_dot(v, F.col("qvec")) / (_norm(v) * _norm(F.col("qvec"))), 4).alias(
+                "cosine"
+            ),
+        )
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )
 
 
 def pairwise_cosine_knn(
     df: DataFrame, k: int = 5, id_col: str = "vec_id", vec_col: str = "embedding", bucket_planes: int = 4
 ) -> DataFrame:
     """All-pairs k-NN restricted to LSH co-buckets (embedding near-dup
-    detection): join within bucket, exact cosine, per-row top-k window."""
+    detection): join within bucket, exact cosine, per-row top-k window.
+    No driver collect — the bucket id needs no dimension probe."""
     from pyspark.sql import Window
 
-    dim_row = df.select(F.size(vec_col).alias("d")).first()
-    bucketed = lsh_bucket(df, dim_row["d"], n_planes=bucket_planes, vec_col=vec_col)
+    bucketed = lsh_bucket(df, n_planes=bucket_planes, vec_col=vec_col)
     a = bucketed.alias("a")
     b = bucketed.alias("b")
     pairs = (

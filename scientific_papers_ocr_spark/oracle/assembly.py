@@ -145,6 +145,7 @@ def edoc_dict(
     abstract: Optional[dict],
     references: Optional[dict],
     conv_id: str,
+    keywords: Optional[list] = None,
 ) -> dict:
     """EDocument-shaped serde dict: int-keyed (stringified by JSON) section
     map + metadata with datetimes as epoch floats.
@@ -208,7 +209,7 @@ def edoc_dict(
             "creation_date": creation_date,
             "pdf_directory": None,
             "pdf_filename": conv_id,
-            "keywords": None,
+            "keywords": keywords,
             "abstract": abstract_out,
             "references": references_out,
             "doi": None,
@@ -278,6 +279,7 @@ def process_document(turns: list[dict], conv_id: str = "") -> dict:
         edoc_dict(
             seg["sections"], title, authors, creation_date,
             seg["abstract"], seg["references"], conv_id=conv_id,
+            keywords=textnorm.split_keywords((meta or {}).get("keywords")),
         ),
         indent=4,
         sort_keys=False,

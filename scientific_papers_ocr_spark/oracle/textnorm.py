@@ -44,6 +44,18 @@ def capitalize_name(name: str) -> str:
     return "".join(p.capitalize() if p not in (" ", "-") else p for p in parts)
 
 
+def split_keywords(raw: str | None) -> list[str] | None:
+    """PDF-metadata keyword string → capitalised keyword list (T16).
+
+    Reference: elaborate_single_mmd_scientific.py:438-451 (``re.split`` on
+    ``[,;]``, strip, ``capitalize_name``); extract_metadata_from_document.py:
+    73-80 applies the same split to the author string.
+    """
+    if raw is None:
+        return None
+    return [capitalize_name(kw.strip()) for kw in re.split(r"[,;]", raw)]
+
+
 def is_sentinel_page(text: str) -> bool:
     """True when the turn payload is a bare missing-page sentinel.
 

@@ -300,16 +300,23 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     the batch twin of the streaming session-window operator."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     ev = _t(spark, sf_dir, "events")
-    with_gap = ev.select(
-        "user_id",
-        "event_id",
-        "ts",
-        F.when(
-            (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))) > 1800,
-            F.lit(1),
+    # timestampdiff(MICROSECOND) keeps the microsecond fraction (like DuckDB
+    # epoch()) and is timezone-free on TIMESTAMP_NTZ; unix_timestamp()
+    # truncates to whole seconds and misclassifies gaps that straddle the
+    # 1800 s boundary by <1 s.
+    with_gap = (
+        ev.withColumn("prev_ts", F.lag("ts").over(w))
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.when(
+                F.expr("timestampdiff(MICROSECOND, prev_ts, ts)") > 1800 * 1_000_000,
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .alias("is_new_session"),
         )
-        .otherwise(F.lit(0))
-        .alias("is_new_session"),
     )
     return with_gap.select(
         "user_id",
@@ -559,19 +566,93 @@ ORDER BY cosine DESC, vec_id LIMIT 10
 
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-k (multi-probe).  Non-SQL (projection
-    hashing) → rows-only driver check."""
+    """LSH-bucketed approximate top-k (multi-probe).  The query vector is a
+    broadcast single-row dim table — no driver collect; buckets come from
+    portable md5-nibble projections, so DuckDB reproduces them exactly."""
     emb = _t(spark, sf_dir, "embeddings")
-    qrow = emb.where(F.col("vec_id") == 0).select("embedding").first()
-    qvec = [float(x) for x in qrow["embedding"]]
-    return similarity.ann_topk(emb, qvec, k=10, n_planes=6)
+    query = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    return similarity.ann_topk(emb, query, k=10, n_planes=6)
+
+
+def _bucket_sql(n_planes: int, source: str, out: str) -> str:
+    """CTE fragment computing the signed-random-projection bucket per vec_id
+    over ``source`` — the exact DuckDB twin of ``similarity.bucket_expr``."""
+    dots = []
+    for p in range(n_planes):
+        nibs = " + ".join(
+            f"(instr('0123456789abcdef', substr(md5('rp:{p}:' || CAST(idx - 1 AS VARCHAR)), {j + 1}, 1)) - 1) * {16 ** (3 - j)}"
+            for j in range(4)
+        )
+        dots.append(f"sum(val * (({nibs}) / 32767.5 - 1.0)) AS d{p}")
+    bucket = " + ".join(
+        f"(CASE WHEN d{p} >= 0 THEN {1 << p} ELSE 0 END)" for p in range(n_planes)
+    )
+    return f"""
+{out}_ex AS (
+  SELECT vec_id, UNNEST(CAST(embedding AS DOUBLE[])) AS val,
+         UNNEST(generate_series(1, len(embedding))) AS idx
+  FROM {source}
+),
+{out}_d AS (SELECT vec_id, {", ".join(dots)} FROM {out}_ex GROUP BY vec_id),
+{out} AS (SELECT vec_id, {bucket} AS bucket FROM {out}_d)
+"""
+
+
+def _ann_topk_sql(n_planes: int = 6, probe_hamming: int = 1, k: int = 10) -> str:
+    ham = " + ".join(
+        f"(CASE WHEN (b.bucket & {1 << p}) <> (qb.q_bucket & {1 << p}) THEN 1 ELSE 0 END)"
+        for p in range(n_planes)
+    )
+    return f"""
+WITH {_bucket_sql(n_planes, "embeddings", "b")},
+qb AS (SELECT bucket AS q_bucket FROM b WHERE vec_id = 0),
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS qvec FROM embeddings WHERE vec_id = 0),
+cand AS (
+  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS emb
+  FROM embeddings e JOIN b ON e.vec_id = b.vec_id CROSS JOIN qb
+  WHERE ({ham}) <= {probe_hamming}
+)
+SELECT vec_id,
+       round(list_dot_product(emb, qvec)
+             / (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(qvec, qvec))), 4) AS cosine
+FROM cand CROSS JOIN q
+ORDER BY cosine DESC, vec_id LIMIT {k}
+"""
+
+
+SQL_ANN_TOPK = _ann_topk_sql(n_planes=6, probe_hamming=1, k=10)
 
 
 def q_embedding_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup candidates via co-bucket all-pairs kNN.
-    Non-SQL → rows-only check."""
+    Portable bucket hashing → exact DuckDB oracle; no driver collect."""
     emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
     return similarity.pairwise_cosine_knn(emb, k=3)
+
+
+def _knn_pairs_sql(bucket_planes: int = 4, k: int = 3, max_id: int = 200) -> str:
+    return f"""
+WITH sub AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {max_id}),
+{_bucket_sql(bucket_planes, "sub", "b")},
+pairs AS (
+  SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+         round(list_dot_product(CAST(ea.embedding AS DOUBLE[]), CAST(ec.embedding AS DOUBLE[]))
+               / (sqrt(list_dot_product(CAST(ea.embedding AS DOUBLE[]), CAST(ea.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(CAST(ec.embedding AS DOUBLE[]), CAST(ec.embedding AS DOUBLE[])))),
+               4) AS cosine
+  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id
+  JOIN sub ea ON ea.vec_id = a.vec_id
+  JOIN sub ec ON ec.vec_id = c.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY id_a ORDER BY cosine DESC, id_b) AS "rank"
+  FROM pairs
+)
+SELECT id_a, id_b, cosine, "rank" FROM ranked WHERE "rank" <= {k}
+"""
+
+
+SQL_EMBEDDING_KNN_PAIRS = _knn_pairs_sql(bucket_planes=4, k=3, max_id=200)
 
 
 # ---------------------------------------------------------------------------
@@ -819,10 +900,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "embedding_topk": (q_embedding_topk, SQL_EMBEDDING_TOPK),
     "layout_blocks": (q_layout_blocks, SQL_LAYOUT_BLOCKS),
     "citation_parse": (q_citation_parse, SQL_CITATION_PARSE),
-    # rows-only (non-SQL-expressible: Python-regex pandas-UDF semantics /
-    # projection hashing)
-    "ann_topk": (q_ann_topk, None),
-    "embedding_knn_pairs": (q_embedding_knn_pairs, None),
+    "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
+    "embedding_knn_pairs": (q_embedding_knn_pairs, SQL_EMBEDDING_KNN_PAIRS),
+    # rows-only (non-SQL-expressible: Python-regex pandas-UDF semantics)
     "extract_turns": (q_extract_turns, None),
     "assemble_docs": (q_assemble_docs, None),
     "block_stream": (q_block_stream, None),

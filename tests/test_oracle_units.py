@@ -27,6 +27,14 @@ class TestTextNorm:
     def test_capitalize_name_keeps_separators(self):
         assert textnorm.capitalize_name("jean-luc de marco") == "Jean-Luc De Marco"
 
+    def test_split_keywords(self):
+        # T16: re.split on [,;] + strip + capitalize_name
+        # (elaborate_single_mmd_scientific.py:438-451)
+        assert textnorm.split_keywords("graph learning; sparse attention , deep-nets") == [
+            "Graph Learning", "Sparse Attention", "Deep-Nets",
+        ]
+        assert textnorm.split_keywords(None) is None
+
     def test_sentinels(self):
         assert textnorm.is_sentinel_page("\n\n[MISSING_PAGE_EMPTY:4]\n\n")
         assert textnorm.sentinel_kind("[MISSING_PAGE_FAIL:12]") == "fail"

@@ -8,7 +8,7 @@ JSON byte-equality — checked over the full seeded fixture corpus.
 import pytest
 
 from scientific_papers_ocr_spark import fixtures, pipeline
-from scientific_papers_ocr_spark.oracle import assembly
+from scientific_papers_ocr_spark.oracle import assembly, textnorm
 from scientific_papers_ocr_spark.sources import transcripts as tsrc
 
 NUM_CONVS = 33
@@ -74,10 +74,31 @@ def test_edoc_json_equality(oracle_results, spark_results):
                 oracle["segmentation"]["abstract"],
                 oracle["segmentation"]["references"],
                 conv_id=cid,
+                keywords=textnorm.split_keywords(
+                    (oracle["meta"] or {}).get("keywords")
+                ),
             ),
             indent=4,
         )
         assert spark_results["docs"][cid]["edoc_json"] == oracle_json, f"edoc mismatch {cid}"
+
+
+def test_keywords_present_in_edoc(oracle_results, spark_results):
+    """T16: keyword-bearing fixture convs carry split+capitalised keywords in
+    the EDocument metadata (and keyword-less ones stay null)."""
+    import json
+
+    seen = 0
+    for cid, oracle in oracle_results.items():
+        raw = (oracle["meta"] or {}).get("keywords")
+        got = json.loads(spark_results["docs"][cid]["edoc_json"])["metadata"]["keywords"]
+        if raw is None:
+            assert got is None
+        else:
+            assert got == textnorm.split_keywords(raw)
+            assert all(kw == textnorm.capitalize_name(kw) for kw in got)
+            seen += 1
+    assert seen > 0, "fixture corpus should include keyword-bearing convs"
 
 
 def test_status_coverage(spark_results):
