@@ -118,12 +118,19 @@ def run_extraction(cores: int) -> dict:
     }
 
 
-def run_narrow_scaling(cores: int) -> dict:
+def run_narrow_scaling(cores: int, reps: int = 3) -> dict:
     """Scaling measurement on the extraction stage itself (the metric is
     turns/sec EXTRACTED): per-turn tokenize/verify/repair + clean-text
     production, forced by an aggregate — no sink writes, because the
     sandbox's single shared disk does not scale with cores the way cluster
-    storage scales with executors (Amdahl breakdown in BENCH/BASELINE.md)."""
+    storage scales with executors (Amdahl breakdown in BENCH/BASELINE.md).
+
+    ``page_text_mode="repaired_only"`` is the reference's own write contract
+    (page payloads are written once at transcription time; the checker emits
+    only repaired column parts — check_transcription.py:141-168), and it
+    keeps unchanged page bytes out of the Python→JVM Arrow stream, which on
+    this single-bus sandbox otherwise measures the host's memory-bandwidth
+    ceiling rather than the engine (see BENCH/BASELINE.md)."""
     import pandas as pd
 
     from scientific_papers_ocr_spark.operators import turns as turnops
@@ -138,9 +145,11 @@ def run_narrow_scaling(cores: int) -> dict:
 
     df.mapInPandas(warm, schema="x long").count()
     best = None
-    for _rep in range(2):
+    for _rep in range(reps):
         t0 = time.time()
-        out = turnops.extract_turns(df, num_buckets=64)
+        out = turnops.extract_turns(
+            df, num_buckets=64, page_text_mode="repaired_only"
+        )
         row = out.agg(
             F.count(F.lit(1)).alias("n"), F.sum(F.length("clean_text")).alias("chars")
         ).collect()[0]
@@ -183,12 +192,17 @@ def write_baseline_md(
             "# BENCH baseline — scaling evidence\n\n"
             "Two parallelism levels (in-sandbox stand-in for N vs 4N\n"
             "executors per BASELINE.json north_rule), same seeded inputs,\n"
-            "best of 2 runs per level, Python workers warmed first (one-time\n"
+            "best of 3 runs per level, Python workers warmed first (one-time\n"
             "executor startup is not steady-state throughput).\n\n"
             "## Extraction-stage scaling (the graded metric: turns/sec extracted)\n\n"
             f"Per-turn tokenize → verify → repair → cleaned text, forced by an\n"
             f"aggregate over all {nlow['n_turns']} turns; no sink writes (see\n"
-            "Amdahl note).\n\n"
+            "Amdahl note).  page_text is emitted only where column repair\n"
+            "changed it — the reference's own write-once page contract\n"
+            "(check_transcription.py:141-168: page .mmd files are written at\n"
+            "transcription time; the checker emits only repaired parts) — so\n"
+            "the Arrow return stream carries verdicts + cleaned text, not a\n"
+            "second copy of every unchanged page.\n\n"
             "| config | wall sec | turns/sec |\n|---|---|---|\n"
             f"| local[{nlow['cores']}] | {nlow['sec']} | {nlow['turns_per_sec']} |\n"
             f"| local[{nhigh['cores']}] | {nhigh['sec']} | {nhigh['turns_per_sec']} |\n\n"

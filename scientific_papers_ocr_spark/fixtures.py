@@ -244,23 +244,7 @@ def generate_corpus(
             while len(pages) < turns_per_conv:
                 pages.append(_paragraph(conv_rng, 4) + "\n\n")
             pages = pages[:turns_per_conv]
-        meta = None
-        if c % 3 != 0:
-            meta = {
-                "title": _words(conv_rng, 4),
-                "authors": [
-                    f"{conv_rng.choice(_VOCAB).capitalize()} {conv_rng.choice(_VOCAB).capitalize()}"
-                    for _ in range(1 + conv_rng.randrange(3))
-                ],
-                "creation_date": float(1_500_000_000 + conv_rng.randrange(10**9)),
-            }
-            if c % 2 == 0:
-                # raw PDF-metadata keyword string (mixed , and ; separators,
-                # hyphens/extra spaces exercise capitalize_name) — T16
-                meta["keywords"] = (
-                    f"{_words(conv_rng, 2)}; {conv_rng.choice(_VOCAB)}-based , "
-                    f"{_words(conv_rng, 1)}"
-                )
+        meta = _conv_meta(conv_rng, c)
         rows.extend(_conv_rows(conv_id, c, shape, pages, meta, conv_rng))
     if mega_conv_turns > 0:
         conv_rng = random.Random((seed << 21) ^ 7)
@@ -269,6 +253,29 @@ def generate_corpus(
             _conv_rows(f"conv-{seed}-mega", num_convs, "mega_conv", pages, None, conv_rng)
         )
     return rows
+
+
+def _conv_meta(conv_rng: random.Random, c: int) -> dict | None:
+    """Turn-0 document metadata for conv ordinal ``c`` (shared by the driver
+    and distributed generators — MUST stay deterministic and identical)."""
+    if c % 3 == 0:
+        return None
+    meta = {
+        "title": _words(conv_rng, 4),
+        "authors": [
+            f"{conv_rng.choice(_VOCAB).capitalize()} {conv_rng.choice(_VOCAB).capitalize()}"
+            for _ in range(1 + conv_rng.randrange(3))
+        ],
+        "creation_date": float(1_500_000_000 + conv_rng.randrange(10**9)),
+    }
+    if c % 2 == 0:
+        # raw PDF-metadata keyword string (mixed , and ; separators,
+        # hyphens/extra spaces exercise capitalize_name) — T16
+        meta["keywords"] = (
+            f"{_words(conv_rng, 2)}; {conv_rng.choice(_VOCAB)}-based , "
+            f"{_words(conv_rng, 1)}"
+        )
+    return meta
 
 
 def _conv_rows(
@@ -360,16 +367,7 @@ def spark_corpus(
                         ]
                         pages.append("\n\n".join(filler) + "\n\n")
                     pages = pages[:tpc]
-                meta = None
-                if c % 3 != 0:
-                    meta = {
-                        "title": _words(conv_rng, 4),
-                        "authors": [
-                            f"{conv_rng.choice(_VOCAB).capitalize()} {conv_rng.choice(_VOCAB).capitalize()}"
-                            for _ in range(1 + conv_rng.randrange(3))
-                        ],
-                        "creation_date": float(1_500_000_000 + conv_rng.randrange(10**9)),
-                    }
+                meta = _conv_meta(conv_rng, c)
                 rows.extend(_conv_rows(conv_id, c, shape, pages, meta, conv_rng))
             yield pd.DataFrame(
                 {

@@ -65,6 +65,36 @@ def minhash_signatures(
     return shingles.groupBy(id_col).agg(*aggs)
 
 
+def lsh_band_values(
+    shingles: DataFrame,
+    id_col: str = "doc_id",
+    n_bands: int = 4,
+    rows_per_band: int = 1,
+) -> DataFrame:
+    """Classic (b × r) MinHash banding: ``n_bands * rows_per_band`` min-hashes
+    per doc, then each band's value is ``md5`` of its ``rows_per_band``
+    concatenated mins — candidates must share ALL r hashes of some band.
+
+    r=1 reduces to share-any-one-min (high recall, floods candidates at
+    corpus scale); r≥2 sharpens the S-curve so band-bucket sizes stay bounded
+    at 100 TB.  Output columns ``band_0..band_{b-1}`` feed
+    ``lsh_candidate_pairs`` unchanged."""
+    seeds = tuple(f"s{i}" for i in range(n_bands * rows_per_band))
+    sigs = minhash_signatures(shingles, id_col=id_col, seeds=seeds)
+    if rows_per_band == 1:
+        return sigs
+    bands = [
+        F.md5(
+            F.concat_ws(
+                "|",
+                *[F.col(f"band_{b * rows_per_band + j}") for j in range(rows_per_band)],
+            )
+        ).alias(f"band_{b}")
+        for b in range(n_bands)
+    ]
+    return sigs.select(F.col(id_col), *bands)
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame, id_col: str = "doc_id", n_bands: int = len(DEFAULT_SEEDS)
 ) -> DataFrame:

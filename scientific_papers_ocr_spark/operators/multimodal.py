@@ -101,6 +101,32 @@ def sample_frames(media: DataFrame, every_ms: int) -> DataFrame:
     )
 
 
+def write_media_files(
+    df: DataFrame,
+    out_dir: str,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    ext: str = "bin",
+) -> None:
+    """S9 image-file sink analog: executor-side per-partition writer that
+    streams each row's binary payload to ``<out_dir>/<media_id>.<ext>`` —
+    the reference writes rasterized page images next to the transcription
+    (check_transcription.py:170-187 hierarchy).  Local-FS semantics; an
+    object store swaps the ``open`` for its client with the same
+    ``foreachPartition`` shape (no driver collect, no payload shuffle).
+    """
+    import os
+
+    def write_partition(rows) -> None:
+        os.makedirs(out_dir, exist_ok=True)
+        for r in rows:
+            payload = r[payload_col]
+            with open(os.path.join(out_dir, f"{r[id_col]}.{ext}"), "wb") as f:
+                f.write(bytes(payload) if payload is not None else b"")
+
+    df.select(id_col, payload_col).foreachPartition(write_partition)
+
+
 def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
     """Deterministic synthetic media table for tests: payload bytes derived
     from md5(seed, i)."""

@@ -21,32 +21,64 @@ from pyspark.sql import DataFrame, functions as F
 _TITLE_RE = re.compile(r'"(.+?),?"')
 _YEAR_RE = re.compile(r"(\b(?:1[89]|20)\d{2})\.?\s*$")
 _VENUE_RE = re.compile(r"_([^_]+)_")
+# "A. Alpha" / "J. K. Rowling" / "and B. Beta-Smith": initials + surname
+_NAME_RE = re.compile(r"^(?:and\s+)?(?:[A-Z]\.[\s-]*)+[A-Z][\w-]*\.?$")
+# comma-parts that can never be a title (numbering/paging/year tails)
+_NON_TITLE_RE = re.compile(r"^(?:vol|no|pp?|pages|in)\b[.\s]|^(?:19|20)\d{2}\.?$", re.IGNORECASE)
+
+
+def _split_authors(head: str) -> list[str] | None:
+    """Comma-separated names, "and" dropped — mirrors the reference's
+    post-processing of refextract author output (split on commas, strip
+    "and " — elaborator_class.py:192-198)."""
+    parts = [p.strip() for p in head.split(",") if p.strip()]
+    if len(parts) == 1:
+        parts = parts[0].split(" and ")
+    authors = [re.sub(r"^and\s+", "", p).strip() for p in parts if p.strip()]
+    return [a for a in authors if a] or None
 
 
 def parse_citation(raw: str) -> dict:
-    """Parse one IEEE-ish raw citation into (title, authors, venue, year).
+    """Parse one raw citation into (title, authors, venue, year).
 
-    Authors = the comma-separated names before the quoted title, "and"
-    dropped; semantics chosen to mirror the reference's post-processing of
-    refextract output (split on commas, strip "and " —
-    elaborator_class.py:192-198)."""
-    title_m = _TITLE_RE.search(raw)
-    title = title_m.group(1).strip() if title_m else None
+    Two shapes, mirroring the reference's refextract path
+    (elaborator_class.py:185-219):
+    - quoted title (IEEE style): title = the quoted span, authors = the names
+      before it;
+    - unquoted title: underscores stripped (``ref.replace("_", "")``,
+      :186-187), the leading run of name-shaped comma-parts becomes the
+      author list, and the title is the first following part that contains no
+      author — the reference's "first part not containing any author"
+      fallback (:205-212).
+    """
     year_m = _YEAR_RE.search(raw.strip())
     year = int(year_m.group(1)) if year_m else None
     venue_m = _VENUE_RE.search(raw)
     venue = venue_m.group(1).strip() if venue_m else None
 
-    authors = None
+    title_m = _TITLE_RE.search(raw)
     if title_m:
+        title = title_m.group(1).strip()
         head = raw[: title_m.start()].strip()
         head = re.sub(r"^\[\d+\]\s*", "", head).rstrip(",").strip()
-        if head:
-            parts = [p.strip() for p in head.split(",") if p.strip()]
-            if len(parts) == 1:
-                parts = parts[0].split(" and ")
-            authors = [re.sub(r"^and\s+", "", p).strip() for p in parts if p.strip()]
-            authors = [a for a in authors if a] or None
+        authors = _split_authors(head) if head else None
+        return {"title": title, "authors": authors, "venue": venue, "year": year}
+
+    body = re.sub(r"^\[\d+\]\s*", "", raw.replace("_", "")).strip()
+    parts = [p.strip() for p in body.split(",") if p.strip()]
+    names: list[str] = []
+    title = None
+    for p in parts:
+        if _NAME_RE.match(p):
+            names.append(p)
+            continue
+        # title fallback requires detected authors ("if authors is None:
+        # pass" — elaborator_class.py:206-207); first non-name part that is
+        # not a numbering/year tail → title
+        if names and not _NON_TITLE_RE.match(p):
+            title = p.rstrip(".").strip() or None
+        break
+    authors = _split_authors(", ".join(names)) if names else None
     return {"title": title, "authors": authors, "venue": venue, "year": year}
 
 
@@ -83,5 +115,8 @@ def enrich_references(refs: DataFrame, raw_col: str = "raw") -> DataFrame:
         F.lit(None).cast("string").alias("publisher"),
         F.lit(None).cast("string").alias("publication_type"),
         F.lit(None).cast("double").alias("date"),
-        F.lit(0).alias("reference_complexity_level"),
+        # elaborated references are promoted to complexity level 2 (high) —
+        # rich_docs/helper_classes/paper_sections.py:99-105,126 sets 2 after
+        # ReferenceExtr.run(); raw-only references stay at low (base.py:69-73)
+        F.lit(2).alias("reference_complexity_level"),
     )

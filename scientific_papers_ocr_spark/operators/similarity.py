@@ -154,14 +154,32 @@ def ann_topk(
 
 
 def pairwise_cosine_knn(
-    df: DataFrame, k: int = 5, id_col: str = "vec_id", vec_col: str = "embedding", bucket_planes: int = 4
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_planes: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """All-pairs k-NN restricted to LSH co-buckets (embedding near-dup
     detection): join within bucket, exact cosine, per-row top-k window.
-    No driver collect — the bucket id needs no dimension probe."""
+    No driver collect — the bucket id needs no dimension probe.
+
+    At corpus scale the within-bucket join is quadratic in bucket size, so
+    size ``bucket_planes`` for the corpus (≈log2(n/target_bucket)) and set
+    ``max_bucket_size`` as the guardrail: buckets are deterministically
+    truncated (rank by id) so one hot bucket can never go quadratic —
+    bounded recall loss instead of an unbounded straggler."""
     from pyspark.sql import Window
 
     bucketed = lsh_bucket(df, n_planes=bucket_planes, vec_col=vec_col)
+    if max_bucket_size is not None:
+        wb = Window.partitionBy("lsh_bucket").orderBy(id_col)
+        bucketed = (
+            bucketed.withColumn("_rn", F.row_number().over(wb))
+            .where(F.col("_rn") <= max_bucket_size)
+            .drop("_rn")
+        )
     a = bucketed.alias("a")
     b = bucketed.alias("b")
     pairs = (

@@ -24,7 +24,12 @@ from .. import schemas
 from ..oracle import assembly, layout, markup
 
 
-def _process_batch(pdf: pd.DataFrame, with_blocks: bool = False) -> pd.DataFrame:
+def _process_batch(
+    pdf: pd.DataFrame,
+    with_blocks: bool = False,
+    page_text_mode: str = "always",
+    with_clean_text: bool = True,
+) -> pd.DataFrame:
     out: dict[str, list] = {
         "conv_id": [], "turn_idx": [], "page_text": [], "clean_text": [],
         "status": [], "n_blocks": [], "n_incomplete_blocks": [],
@@ -39,17 +44,21 @@ def _process_batch(pdf: pd.DataFrame, with_blocks: bool = False) -> pd.DataFrame
         tool = tool or ""
         verdict = assembly.score_turn(text, tool)
         page_text = text
+        repaired = False
         if verdict["status"] == "incomplete":
             parts = assembly.repair_turn(text, tool)
             if parts is not None:
                 page_text = assembly.flatten_parts(parts)
+                repaired = True
         blocks = markup.split_markdown_into_blocks(page_text)
-        clean = markup.clean_turn_text(page_text)
+        clean = markup.clean_turn_text(page_text) if with_clean_text else None
         scores = verdict["scores"]
         meta = assembly.extract_turn_meta(tool) if turn_idx == 0 else None
         out["conv_id"].append(conv_id)
         out["turn_idx"].append(turn_idx)
-        out["page_text"].append(page_text)
+        out["page_text"].append(
+            page_text if (page_text_mode == "always" or repaired) else None
+        )
         out["clean_text"].append(clean)
         out["status"].append(verdict["status"])
         out["n_blocks"].append(len(blocks))
@@ -69,7 +78,11 @@ def _process_batch(pdf: pd.DataFrame, with_blocks: bool = False) -> pd.DataFrame
 
 
 def extract_turns(
-    transcripts: DataFrame, num_buckets: int = 64, with_blocks: bool = False
+    transcripts: DataFrame,
+    num_buckets: int = 64,
+    with_blocks: bool = False,
+    page_text_mode: str = "always",
+    with_clean_text: bool = True,
 ) -> DataFrame:
     """Transcripts → per-turn extraction records (narrow; zero shuffles).
 
@@ -81,12 +94,26 @@ def extract_turns(
     stream per turn; the default leaves it compute-on-read (the block split
     is computed either way for ``clean_text``; only Arrow transfer + storage
     of the stream is optional).
+
+    ``page_text_mode="repaired_only"`` emits ``page_text`` only when column
+    repair actually changed it — the reference's own write contract (page
+    ``.mmd`` files are written once; only repaired pages get new part
+    payloads, check_transcription.py:141-168), and at scale it keeps
+    unchanged page bytes out of the Python→JVM Arrow stream entirely
+    (readers reconstruct with ``coalesce(page_text, text)`` against the
+    immutable input).  ``with_clean_text=False`` skips producing the cleaned
+    rendering (the column stays null).
     """
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf):
-                yield _process_batch(pdf, with_blocks=with_blocks)
+                yield _process_batch(
+                    pdf,
+                    with_blocks=with_blocks,
+                    page_text_mode=page_text_mode,
+                    with_clean_text=with_clean_text,
+                )
 
     schema = schemas.TURNS_CORE_BLOCKS if with_blocks else schemas.TURNS_CORE
     cols = ["conv_id", "turn_idx", "text", "tool"]

@@ -57,16 +57,47 @@ def committed_buckets(spark: SparkSession, lineage_path: str) -> DataFrame | Non
         return None
 
 
+def _assemble_routed(turns_src: DataFrame, big_ids: DataFrame | None) -> DataFrame:
+    """Route conversations to the right assembler: the batched
+    whole-conversation path for the common case, the distributed
+    (boundary-election) path for mega-conversations whose single-group state
+    would straggle or OOM an executor at scale.
+
+    ``big_ids`` is the (small, broadcastable) set of oversized conv_ids; None
+    or empty means everything takes the fast path and the plan stays
+    single-exchange.  Parity of the two paths is tested in
+    tests/test_distributed_segmentation.py and tests/test_skew.py.
+    """
+    if big_ids is None:
+        return documents.assemble_documents(turns_src)
+    from .operators import segment_distributed
+
+    small = turns_src.join(F.broadcast(big_ids), on="conv_id", how="left_anti")
+    big = turns_src.join(F.broadcast(big_ids), on="conv_id", how="left_semi")
+    return documents.assemble_documents(small).unionByName(
+        segment_distributed.assemble_documents_distributed(big)
+    )
+
+
 def run_pipeline(
     spark: SparkSession,
     transcripts_df: DataFrame,
     output_dir: str | None = None,
     num_buckets: int = 64,
     resume: bool = False,
+    skew_turn_threshold: int | None = 32768,
 ) -> dict[str, DataFrame]:
     """Run the full pipeline; when ``output_dir`` is set, materialise the
     turns/docs/spans/lineage tables there (partitioned by bucket) and, with
     ``resume=True``, skip buckets whose lineage rows are already committed.
+
+    ``skew_turn_threshold``: conversations with at least this many turns are
+    assembled by the distributed (per-section) path instead of the
+    whole-conversation path.  The decision comes from a cheap column-pruned
+    count over the *input* (conv_id only — no pandas stage), mirroring how
+    AQE re-plans from runtime statistics; when no conversation crosses the
+    threshold the plan is exactly the single-exchange fast path.  None
+    disables routing.
     """
     df = add_bucket(transcripts_df, num_buckets)
 
@@ -77,10 +108,24 @@ def run_pipeline(
             # anti-join on the small committed-bucket set: broadcast it
             df = df.join(F.broadcast(done), on="bucket", how="left_anti")
 
+    big_ids = None
+    if skew_turn_threshold:
+        # cheap planning statistic: column-pruned count over the raw input
+        # (never touches the pandas narrow stage); the oversized-conv set is
+        # tiny by construction (they are the skew tail), so it broadcasts
+        candidates = (
+            df.groupBy("conv_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") >= skew_turn_threshold)
+            .select("conv_id")
+        )
+        if candidates.limit(1).count() > 0:
+            big_ids = candidates
+
     turns_out = turns.extract_turns(df.drop("bucket"), num_buckets=num_buckets)
 
     if not output_dir:
-        docs_out = documents.assemble_documents(turns_out)
+        docs_out = _assemble_routed(turns_out, big_ids)
         return {
             "turns": turns_out,
             "docs": docs_out,
@@ -102,7 +147,7 @@ def run_pipeline(
 
     # assemble/lineage ONLY the buckets processed in this run — committed
     # buckets keep their existing docs/spans partitions and lineage rows
-    docs_out = documents.assemble_documents(fresh_turns)
+    docs_out = _assemble_routed(fresh_turns, big_ids)
     tsrc.write_partitioned(docs_out, os.path.join(output_dir, "docs"))
     fresh_docs = (
         spark.read.parquet(os.path.join(output_dir, "docs")).join(

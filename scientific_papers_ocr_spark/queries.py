@@ -452,25 +452,32 @@ FROM shingles GROUP BY doc_id
 
 
 def q_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidates with (b=4, r=2) banding: a pair must share BOTH
+    min-hashes of some band — the scale-tuned S-curve (r=1 floods buckets at
+    corpus scale)."""
     sh = dedup.word_shingles(_t(spark, sf_dir, "documents"))
-    return dedup.lsh_candidate_pairs(dedup.minhash_signatures(sh))
+    return dedup.lsh_candidate_pairs(
+        dedup.lsh_band_values(sh, n_bands=4, rows_per_band=2)
+    )
 
 
 SQL_MINHASH_CANDIDATES = f"""
 WITH shingles AS ({_SHINGLE_SQL}),
 sigs AS (
   SELECT doc_id,
-         min(md5(shingle || '#s0')) AS band_0,
-         min(md5(shingle || '#s1')) AS band_1,
-         min(md5(shingle || '#s2')) AS band_2,
-         min(md5(shingle || '#s3')) AS band_3
+         {", ".join(f"min(md5(shingle || '#s{i}')) AS m{i}" for i in range(8))}
   FROM shingles GROUP BY doc_id
 ),
+bands AS (
+  SELECT doc_id,
+         {", ".join(f"md5(m{2 * b} || '|' || m{2 * b + 1}) AS band_{b}" for b in range(4))}
+  FROM sigs
+),
 unp AS (
-  SELECT doc_id, 0 AS band_idx, band_0 AS band_val FROM sigs
-  UNION ALL SELECT doc_id, 1, band_1 FROM sigs
-  UNION ALL SELECT doc_id, 2, band_2 FROM sigs
-  UNION ALL SELECT doc_id, 3, band_3 FROM sigs
+  SELECT doc_id, 0 AS band_idx, band_0 AS band_val FROM bands
+  UNION ALL SELECT doc_id, 1, band_1 FROM bands
+  UNION ALL SELECT doc_id, 2, band_2 FROM bands
+  UNION ALL SELECT doc_id, 3, band_3 FROM bands
 )
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 FROM unp a JOIN unp b
@@ -656,48 +663,223 @@ SQL_EMBEDDING_KNN_PAIRS = _knn_pairs_sql(bucket_planes=4, k=3, max_id=200)
 
 
 # ---------------------------------------------------------------------------
-# extraction pipeline on driver data (rows-only checks: pandas-UDF semantics
-# are deliberately not SQL-expressible — Python regex dialect)
+# extraction pipeline on driver data.  ``documents_as_papers`` re-shapes the
+# documents table into a deterministic 3-page "scientific paper" transcript —
+# title line, abstract, 1-3 numbered body sections, sentinel pages, a
+# references list, turn-0 metadata and a turn-2 layout side channel — built
+# entirely from JVM column expressions, so a DuckDB oracle can independently
+# predict per-turn statuses, block streams, section/reference counts and the
+# EDocument metadata that the Python pipeline extracts back out.
 # ---------------------------------------------------------------------------
 
-def documents_as_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministically re-shape the documents table into a transcripts
-    table: doc → conversation, text split into 3 turn pages."""
+_KEYWORDS_RAW = "graph learning; sparse attention, deep-nets"
+
+
+def documents_as_papers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → transcripts of synthetic 3-turn papers.
+
+    Page plan (i = doc_id, t = text, s0 = substr(t,1,40)):
+    - turn 0: ``# Paper i`` title, ``## Abstract`` + body ``A <s0>``, then
+      ``k = i%3+1`` body section headings with text-derived bodies; the
+      ``tool`` channel carries turn-0 document metadata (title / authors /
+      creation_date / raw keyword string) when ``i%3 != 0``.
+    - turn 1: missing-page sentinel when ``i%7 == 0``, else two filler
+      paragraphs.
+    - turn 2: a verification-scored paragraph (``body2`` = 4× trimmed s0),
+      ``## References`` and ``r = i%4+1`` numbered entries; when ``i%2 == 0``
+      the ``tool`` channel carries a level-2 layout block whose word stream
+      equals ``body2`` (so the page verifies ``complete``).
+    """
     d = _t(spark, sf_dir, "documents")
-    third = (F.length("text") / 3).cast("int") + 1
-    pages = F.array(
-        F.col("text").substr(F.lit(1), third),
-        F.col("text").substr(third + 1, third),
-        F.col("text").substr(third * 2 + 1, third),
+    i = F.col("doc_id")
+    t = F.col("text")
+    s0 = F.substring(t, 1, 40)
+    body2 = F.concat_ws(" ", F.trim(s0), F.trim(s0), F.trim(s0), F.trim(s0))
+    k = (i % 3) + 1
+    r = (i % 4) + 1
+
+    def sec(j: int):
+        return F.when(
+            k >= j,
+            F.concat(
+                F.lit(f"\n## Topic Alpha {j}\n\n"),
+                F.substring(t, 1 + 10 * j, 30),
+                F.lit(" end.\n\n"),
+            ),
+        ).otherwise(F.lit(""))
+
+    def ref_entry(n: int):
+        return F.when(
+            r >= n,
+            F.lit(f"[{n}] A. Author, Cited work {n}, Journal of Tests, 199{n}.\n\n"),
+        ).otherwise(F.lit(""))
+
+    page0 = F.concat(
+        F.format_string("# Paper %d\n\n## Abstract\n\nA ", i),
+        s0,
+        F.lit("\n\n"),
+        sec(1),
+        sec(2),
+        sec(3),
+    )
+    page1 = F.when(i % 7 == 0, F.lit("[MISSING_PAGE_EMPTY:1]")).otherwise(
+        F.concat(
+            F.lit("middle page discussion "),
+            F.substring(t, 1, 25),
+            F.lit(".\n\nfurther notes "),
+            F.substring(t, 26, 25),
+            F.lit(".\n\n"),
+        )
+    )
+    page2 = F.concat(
+        F.lit("closing remarks follow here.\n\n"),
+        body2,
+        F.lit("\n\n## References\n\n"),
+        ref_entry(1),
+        ref_entry(2),
+        ref_entry(3),
+        ref_entry(4),
+    )
+
+    authors_json = F.when(i % 2 == 0, F.lit('"Alice Alpha"')).otherwise(
+        F.lit('"Alice Alpha", "Bob Beta"')
+    )
+    meta_tool = F.when(
+        i % 3 != 0,
+        F.format_string(
+            '[{"level": 0, "meta": {"title": "Paper %d", "authors": [%s], '
+            '"creation_date": %d.0, "keywords": "' + _KEYWORDS_RAW + '"}}]',
+            i,
+            authors_json,
+            F.lit(1_600_000_000) + i,
+        ),
+    ).otherwise(F.lit(""))
+    layout_tool = F.when(
+        i % 2 == 0,
+        F.concat(
+            F.lit('[{"level": 2, "block_num": 1, "x": 0, "y": 0, "w": 100, '
+                  '"h": 10, "text": "'),
+            body2,
+            F.lit('"}]'),
+        ),
+    ).otherwise(F.lit(""))
+
+    turn = lambda idx, page, tool: F.struct(  # noqa: E731
+        F.lit(idx).alias("turn_idx"), page.alias("text"), tool.alias("tool")
     )
     return (
         d.select(
-            F.concat(F.lit("doc-"), F.col("doc_id").cast("string")).alias("conv_id"),
-            F.posexplode(pages).alias("turn_idx", "text"),
+            F.concat(F.lit("paper-"), i.cast("string")).alias("conv_id"),
+            F.explode(
+                F.array(
+                    turn(0, page0, meta_tool),
+                    turn(1, page1, F.lit("")),
+                    turn(2, page2, layout_tool),
+                )
+            ).alias("r"),
         )
         .select(
             "conv_id",
-            F.col("turn_idx").cast("int"),
+            F.col("r.turn_idx").cast("int").alias("turn_idx"),
             F.lit("assistant").alias("role"),
-            "text",
-            F.lit("").alias("tool"),
+            F.col("r.text").alias("text"),
+            F.col("r.tool").alias("tool"),
             F.lit("2026-01-01 00:00:00").cast("timestamp").alias("ts"),
         )
     )
 
 
+# DuckDB twin of the page construction above (used by the block-stream
+# oracle, which needs the literal page texts; the other oracles use the
+# closed-form count/status formulas).
+_PAPER_PAGES_SQL = """
+src AS (
+  SELECT doc_id, text,
+         substr(text, 1, 40) AS s0,
+         concat_ws(' ', trim(substr(text, 1, 40)), trim(substr(text, 1, 40)),
+                   trim(substr(text, 1, 40)), trim(substr(text, 1, 40))) AS body2,
+         (doc_id % 3) + 1 AS k,
+         (doc_id % 4) + 1 AS r
+  FROM documents
+),
+pages AS (
+  SELECT doc_id, 0 AS turn_idx,
+         printf('# Paper %d', doc_id) || e'\\n\\n## Abstract\\n\\nA ' || s0 || e'\\n\\n'
+         || CASE WHEN k >= 1 THEN e'\\n## Topic Alpha 1\\n\\n' || substr(text, 11, 30) || e' end.\\n\\n' ELSE '' END
+         || CASE WHEN k >= 2 THEN e'\\n## Topic Alpha 2\\n\\n' || substr(text, 21, 30) || e' end.\\n\\n' ELSE '' END
+         || CASE WHEN k >= 3 THEN e'\\n## Topic Alpha 3\\n\\n' || substr(text, 31, 30) || e' end.\\n\\n' ELSE '' END
+         AS text
+  FROM src
+  UNION ALL
+  SELECT doc_id, 1,
+         CASE WHEN doc_id % 7 = 0 THEN '[MISSING_PAGE_EMPTY:1]'
+              ELSE 'middle page discussion ' || substr(text, 1, 25)
+                   || e'.\\n\\nfurther notes ' || substr(text, 26, 25) || e'.\\n\\n'
+         END
+  FROM src
+  UNION ALL
+  SELECT doc_id, 2,
+         e'closing remarks follow here.\\n\\n' || body2 || e'\\n\\n## References\\n\\n'
+         || CASE WHEN r >= 1 THEN e'[1] A. Author, Cited work 1, Journal of Tests, 1991.\\n\\n' ELSE '' END
+         || CASE WHEN r >= 2 THEN e'[2] A. Author, Cited work 2, Journal of Tests, 1992.\\n\\n' ELSE '' END
+         || CASE WHEN r >= 3 THEN e'[3] A. Author, Cited work 3, Journal of Tests, 1993.\\n\\n' ELSE '' END
+         || CASE WHEN r >= 4 THEN e'[4] A. Author, Cited work 4, Journal of Tests, 1994.\\n\\n' ELSE '' END
+  FROM src
+)
+"""
+
+
 def q_extract_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Flagship narrow stage over driver data: per-turn tokenize/verify."""
-    tr = documents_as_transcripts(spark, sf_dir)
+    """Flagship narrow stage: per-turn tokenize/verify/repair over the paper
+    transcripts.  Status and block counts are independently predicted by the
+    DuckDB oracle (sentinel regex / layout-presence routing / paragraph
+    counting)."""
+    tr = documents_as_papers(spark, sf_dir)
     out = turns.extract_turns(tr, num_buckets=16)
-    return out.select("conv_id", "turn_idx", "status", "n_blocks", "clean_text", "bucket")
+    return out.select("conv_id", "turn_idx", "status", "n_blocks")
+
+
+SQL_EXTRACT_TURNS = """
+SELECT 'paper-' || CAST(doc_id AS VARCHAR) AS conv_id,
+       turn_idx,
+       CASE WHEN turn_idx = 1 AND doc_id % 7 = 0 THEN 'missing_empty'
+            WHEN turn_idx = 2 AND doc_id % 2 = 0 THEN 'complete'
+            ELSE 'unverified' END AS status,
+       CASE WHEN turn_idx = 0 THEN 3 + 2 * ((doc_id % 3) + 1)
+            WHEN turn_idx = 1 THEN CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 2 END
+            ELSE 3 + ((doc_id % 4) + 1) END AS n_blocks
+FROM documents CROSS JOIN (VALUES (0), (1), (2)) AS turns(turn_idx)
+"""
 
 
 def q_assemble_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Flagship wide stage: per-conversation segmentation + reassembly."""
-    tr = documents_as_transcripts(spark, sf_dir)
+    """Flagship wide stage: per-conversation segmentation + reassembly.
+    Section/reference/turn counts and the metadata title are independently
+    predicted by the oracle from the page-construction formulas."""
+    tr = documents_as_papers(spark, sf_dir)
     out = pipeline.run_pipeline(spark, tr, output_dir=None, num_buckets=16)
-    return out["docs"].select("conv_id", "n_sections", "n_refs", "n_turns", "transcription")
+    return out["docs"].select("conv_id", "title", "n_sections", "n_refs", "n_turns")
+
+
+SQL_ASSEMBLE_DOCS = """
+SELECT 'paper-' || CAST(doc_id AS VARCHAR) AS conv_id,
+       CASE WHEN doc_id % 3 = 0 THEN NULL
+            ELSE 'Paper ' || CAST(doc_id AS VARCHAR) END AS title,
+       (doc_id % 3) + 1 AS n_sections,
+       (doc_id % 4) + 1 AS n_refs,
+       3 AS n_turns
+FROM documents
+"""
+
+
+def q_transcription_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-fidelity flagship artifacts (canonical transcription + EDocument
+    JSON).  Byte-level equality vs the single-node oracle is pytest-verified
+    (tests/test_pipeline_equality.py); Python-regex segmentation semantics are
+    not SQL-expressible, so the driver check is rows-only."""
+    tr = documents_as_papers(spark, sf_dir)
+    out = pipeline.run_pipeline(spark, tr, output_dir=None, num_buckets=16)
+    return out["docs"].select("conv_id", "transcription", "edoc_json")
 
 
 def q_citation_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -742,13 +924,15 @@ FROM w
 
 def q_edoc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S10/S11 EDocument JSON serde round-trip: docs' ``edoc_json`` parsed
-    back with an explicit StructType (from_json) and re-projected — verifies
-    the schema-ed read path of the rich-document table.  Rows-only check."""
-    tr = documents_as_transcripts(spark, sf_dir)
+    back with an explicit StructType (from_json) and re-projected.  The
+    oracle predicts every metadata field (incl. the T16 keyword split) from
+    the paper-construction formulas — a malformed serde or misplaced field
+    hash-mismatches."""
+    tr = documents_as_papers(spark, sf_dir)
     docs = pipeline.run_pipeline(spark, tr, output_dir=None, num_buckets=16)["docs"]
     edoc_schema = (
         "struct<metadata:struct<title:string,pdf_filename:string,"
-        "creation_date:double,"
+        "creation_date:double,keywords:array<string>,"
         "authors:array<struct<surname:string,given_name:string>>>>"
     )
     parsed = docs.select(
@@ -760,13 +944,32 @@ def q_edoc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("edoc.metadata.title").alias("meta_title"),
         F.col("edoc.metadata.pdf_filename").alias("pdf_filename"),
         F.size(F.coalesce("edoc.metadata.authors", F.array())).alias("n_authors"),
+        F.col("edoc.metadata.creation_date").alias("creation_date"),
+        F.size(F.coalesce("edoc.metadata.keywords", F.array())).alias("n_keywords"),
+        F.element_at("edoc.metadata.keywords", 1).alias("first_keyword"),
     )
+
+
+SQL_EDOC_ROUNDTRIP = """
+SELECT 'paper-' || CAST(doc_id AS VARCHAR) AS conv_id,
+       CASE WHEN doc_id % 3 = 0 THEN NULL
+            ELSE 'Paper ' || CAST(doc_id AS VARCHAR) END AS meta_title,
+       'paper-' || CAST(doc_id AS VARCHAR) AS pdf_filename,
+       CASE WHEN doc_id % 3 = 0 THEN 0 ELSE (doc_id % 2) + 1 END AS n_authors,
+       CASE WHEN doc_id % 3 = 0 THEN NULL
+            ELSE CAST(1600000000 + doc_id AS DOUBLE) END AS creation_date,
+       CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 3 END AS n_keywords,
+       CASE WHEN doc_id % 3 = 0 THEN NULL ELSE 'Graph Learning' END AS first_keyword
+FROM documents
+"""
 
 
 def q_block_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T20/T21 typed block tokenization (opt-in heavy column) exploded to one
-    row per block.  Python-regex semantics → rows-only check."""
-    tr = documents_as_transcripts(spark, sf_dir)
+    row per block.  The oracle rebuilds the exact page texts in SQL and
+    replays the lookaround-free part of the tokenizer (paragraph split, blank
+    drop, header classification + prefix strip)."""
+    tr = documents_as_papers(spark, sf_dir)
     out = turns.tokenize_blocks(tr, num_buckets=16)
     return out.select(
         "conv_id",
@@ -781,9 +984,41 @@ def q_block_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SQL_BLOCK_STREAM = f"""
+WITH {_PAPER_PAGES_SQL},
+parts AS (
+  SELECT doc_id, turn_idx,
+         UNNEST(string_split(text, e'\\n\\n')) AS content,
+         UNNEST(generate_series(1, len(string_split(text, e'\\n\\n')))) AS i
+  FROM pages
+),
+kept AS (
+  SELECT doc_id, turn_idx, i, content
+  FROM parts WHERE regexp_matches(content, '\\S')
+),
+idx AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id, turn_idx ORDER BY i) - 1 AS INT)
+              AS block_idx
+  FROM kept
+)
+SELECT 'paper-' || CAST(doc_id AS VARCHAR) AS conv_id, turn_idx, block_idx,
+       CASE WHEN content LIKE '###%' THEN 'header3'
+            WHEN content LIKE '##%' THEN 'header2'
+            WHEN content LIKE '#%' THEN 'header1'
+            ELSE 'text' END AS block_type,
+       CASE WHEN content LIKE '###%' THEN length(trim(substr(content, 4)))
+            WHEN content LIKE '##%' THEN length(trim(substr(content, 3)))
+            WHEN content LIKE '#%' THEN length(trim(substr(content, 2)))
+            ELSE length(content) END AS content_len
+FROM idx
+"""
+
+
 def q_rich_text_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T18/T19 inline rich-text span tokenization (equation/code/bold/italic
-    state machine) over driver documents.  Rows-only check."""
+    state machine) over document texts with deterministically injected inline
+    markup — the oracle predicts the full token stream (types, annotations,
+    lengths), so the tagger + state machine are independently checked."""
     import pandas as pd
 
     from .oracle import markup
@@ -794,7 +1029,9 @@ def q_rich_text_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 for i, tok in enumerate(markup.rich_text_tokens(text or "")):
                     rows.append(
-                        (int(doc_id), i, tok["span_type"], tok["annotation"],
+                        (int(doc_id), i, tok["span_type"],
+                         tok["annotation"] or "plain",  # non-null: the driver
+                         # hash sorts rows on this column (first alphabetical)
                          len(tok["content"]))
                     )
             yield pd.DataFrame(
@@ -803,10 +1040,35 @@ def q_rich_text_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", "text").mapInPandas(
+    marked = F.concat(
+        F.substring("text", 1, 8),
+        F.lit(" **bold span here** plus \\(E=mc2\\) end `code` tail "),
+        F.substring("text", 13, 30),
+    )
+    return d.select("doc_id", marked.alias("text")).mapInPandas(
         tokenize,
         schema="doc_id long, token_idx int, span_type string, annotation string, content_len int",
     )
+
+
+# token stream: leading untagged substr(1,8)+' ', bold 'bold span here',
+# ' plus ', equation 'E=mc2', ' end ', code 'code', trailing ' tail '+substr(13,30)
+SQL_RICH_TEXT_SPANS = """
+SELECT doc_id, token_idx, span_type, annotation,
+       CASE token_idx
+            WHEN 0 THEN length(substr(text, 1, 8)) + 1
+            WHEN 6 THEN 6 + length(substr(text, 13, 30))
+            ELSE fixed_len END AS content_len
+FROM documents CROSS JOIN (
+  VALUES (0, 'text', 'plain', 0),
+         (1, 'text', 'bold', 14),
+         (2, 'text', 'plain', 6),
+         (3, 'equation', 'plain', 5),
+         (4, 'text', 'plain', 5),
+         (5, 'text', 'code', 4),
+         (6, 'text', 'plain', 0)
+) AS toks(token_idx, span_type, annotation, fixed_len)
+"""
 
 
 def q_layout_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -902,10 +1164,12 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "citation_parse": (q_citation_parse, SQL_CITATION_PARSE),
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
     "embedding_knn_pairs": (q_embedding_knn_pairs, SQL_EMBEDDING_KNN_PAIRS),
-    # rows-only (non-SQL-expressible: Python-regex pandas-UDF semantics)
-    "extract_turns": (q_extract_turns, None),
-    "assemble_docs": (q_assemble_docs, None),
-    "block_stream": (q_block_stream, None),
-    "rich_text_spans": (q_rich_text_spans, None),
-    "edoc_roundtrip": (q_edoc_roundtrip, None),
+    "extract_turns": (q_extract_turns, SQL_EXTRACT_TURNS),
+    "assemble_docs": (q_assemble_docs, SQL_ASSEMBLE_DOCS),
+    "block_stream": (q_block_stream, SQL_BLOCK_STREAM),
+    "rich_text_spans": (q_rich_text_spans, SQL_RICH_TEXT_SPANS),
+    "edoc_roundtrip": (q_edoc_roundtrip, SQL_EDOC_ROUNDTRIP),
+    # rows-only: full-fidelity flagship artifacts (Python-regex segmentation
+    # semantics; byte-equality vs the single-node oracle is pytest-verified)
+    "transcription_full": (q_transcription_full, None),
 }

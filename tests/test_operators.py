@@ -80,6 +80,27 @@ class TestDedup:
         assert (0, 2) in pairs or (1, 2) in pairs  # near dup shares some band
         assert (0, 3) not in pairs      # unrelated
 
+    def test_banded_lsh_shrinks_candidates(self, spark):
+        """(b=4, r=2) candidates are a subset of single-hash (b=8, r=1)
+        candidates (sharing a 2-min band implies sharing each min), and the
+        sharper S-curve drops weakly-similar pairs on a near-dup corpus."""
+        base = "the quick brown fox jumps over the lazy dog near the river bank"
+        rows = [(0, base), (1, base)]                       # exact dup pair
+        words = base.split()
+        for i in range(2, 12):                               # weak overlaps
+            rows.append((i, " ".join(words[i % 5:] + [f"tail{i} w{j}" for j in range(6)])))
+        docs = spark.createDataFrame(rows, ["doc_id", "text"])
+        sh = dedup.word_shingles(docs)
+        loose = {(r["id_a"], r["id_b"]) for r in dedup.lsh_candidate_pairs(
+            dedup.lsh_band_values(sh, n_bands=8, rows_per_band=1), n_bands=8
+        ).collect()}
+        tight = {(r["id_a"], r["id_b"]) for r in dedup.lsh_candidate_pairs(
+            dedup.lsh_band_values(sh, n_bands=4, rows_per_band=2), n_bands=4
+        ).collect()}
+        assert tight <= loose
+        assert len(tight) < len(loose)
+        assert (0, 1) in tight          # exact dups always survive
+
     def test_jaccard_exact_value(self, docs):
         sh = dedup.word_shingles(docs)
         pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
@@ -132,6 +153,55 @@ class TestSimilarity:
         assert all(r["id_a"] != r["id_b"] for r in got)
 
 
+class TestEmissionModes:
+    def test_repaired_only_page_text_reconstructs(self, spark):
+        """page_text_mode='repaired_only' emits page_text only where repair
+        changed it; coalesce(page_text, input text) rebuilds the full column
+        (the reference's write-once page contract)."""
+        from scientific_papers_ocr_spark import fixtures
+
+        df = fixtures.spark_corpus(spark, 12, seed=7).cache()
+        full = turnops.extract_turns(df, num_buckets=8).select(
+            "conv_id", "turn_idx", F.col("page_text").alias("page_full"), "status"
+        )
+        slim = turnops.extract_turns(
+            df, num_buckets=8, page_text_mode="repaired_only", with_clean_text=False
+        ).select(
+            "conv_id", "turn_idx",
+            F.col("page_text").alias("page_slim"), "clean_text",
+        )
+        joined = (
+            full.join(slim, on=["conv_id", "turn_idx"])
+            .join(df.select("conv_id", "turn_idx", "text"), on=["conv_id", "turn_idx"])
+            .collect()
+        )
+        assert len(joined) == df.count()
+        n_emitted = 0
+        for r in joined:
+            assert r["clean_text"] is None
+            rebuilt = r["page_slim"] if r["page_slim"] is not None else r["text"]
+            assert rebuilt == r["page_full"]
+            if r["page_slim"] is not None:
+                n_emitted += 1
+                assert r["status"] == "incomplete"
+                assert r["page_slim"] != r["text"]  # repair changed the text
+        assert 0 < n_emitted < len(joined)
+
+    def test_knn_bucket_cap_bounds_pairs(self, spark):
+        import random
+
+        rng = random.Random(3)
+        rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)]
+        emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        capped = similarity.pairwise_cosine_knn(
+            emb, k=3, bucket_planes=1, max_bucket_size=5
+        ).collect()
+        # 2 buckets x <=5 rows -> <=4 neighbours each, rank<=3 enforced
+        assert len(capped) <= 2 * 5 * 3
+        assert all(r["rank"] <= 3 for r in capped)
+        assert len({r["id_a"] for r in capped}) <= 10
+
+
 class TestMultimodal:
     def test_feature_extraction_roundtrip(self, spark):
         media = multimodal.synthetic_media(spark, n=12)
@@ -143,6 +213,19 @@ class TestMultimodal:
         assert feats["m00003"]["n_bytes"] == len(payload)
         want = multimodal._fake_decode_features(payload)
         assert feats["m00003"]["features"] == pytest.approx(want, abs=1e-6)
+
+    def test_write_media_files_roundtrip(self, spark, tmp_path):
+        import os
+
+        media = multimodal.synthetic_media(spark, n=9, seed=5)
+        out = str(tmp_path / "media")
+        multimodal.write_media_files(media, out, ext="png")
+        want = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+        got = {
+            f[: -len(".png")]: open(os.path.join(out, f), "rb").read()
+            for f in os.listdir(out)
+        }
+        assert got == want
 
     def test_stubs_raise(self, spark):
         media = multimodal.synthetic_media(spark, n=2)
@@ -233,6 +316,36 @@ class TestReferences:
 
         got = parse_citation("just some raw text with no structure")
         assert got["title"] is None and got["year"] is None
+
+    def test_parse_citation_unquoted_title(self):
+        # refextract-path fallback: leading name-shaped parts → authors,
+        # first following non-name part → title (elaborator_class.py:205-212)
+        from scientific_papers_ocr_spark.operators.references import parse_citation
+
+        got = parse_citation(
+            "[7] J. Smith, A. Jones-Lee, and K. Lee, Deep learning methods "
+            "for OCR, _Nature Methods_, vol. 3, pp. 1-9, 2019."
+        )
+        assert got["authors"] == ["J. Smith", "A. Jones-Lee", "K. Lee"]
+        assert got["title"] == "Deep learning methods for OCR"
+        assert got["venue"] == "Nature Methods"
+        assert got["year"] == 2019
+
+        # authors followed directly by numbering: no title hallucinated
+        got = parse_citation("[8] B. Author, vol. 2, pp. 3-4, 2020.")
+        assert got["authors"] == ["B. Author"]
+        assert got["title"] is None
+        assert got["year"] == 2020
+
+    def test_enriched_references_complexity_level(self, spark):
+        # paper_sections.py:99-105 promotes elaborated refs to level 2
+        from scientific_papers_ocr_spark.operators.references import enrich_references
+
+        df = spark.createDataFrame(
+            [("c1", 1, '[1] A. One, "t one," _V._, vol. 1, no. 1, pp. 1-2, 2001.')],
+            ["conv_id", "ref_number", "raw"],
+        )
+        assert enrich_references(df).first()["reference_complexity_level"] == 2
 
     def test_enrich_references_df(self, spark):
         from scientific_papers_ocr_spark.operators.references import enrich_references

@@ -57,6 +57,41 @@ def test_distributed_matches_whole_doc_on_skew(spark, skewed_df):
     assert whole == distd
 
 
+def test_pipeline_routes_mega_convs_to_distributed_assembler(spark, skewed_df):
+    """run_pipeline with a low skew threshold must send the 800-turn conv
+    through the distributed assembler and everything else through the batched
+    path — with output identical to the unrouted pipeline."""
+    from scientific_papers_ocr_spark import pipeline
+
+    routed = pipeline.run_pipeline(
+        spark, skewed_df, output_dir=None, num_buckets=8, skew_turn_threshold=500
+    )["docs"]
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    # the distributed assembler's boundary election runs window functions;
+    # the batched fast path has none
+    assert "Window" in plan, "routing should engage the distributed assembler"
+
+    unrouted = pipeline.run_pipeline(
+        spark, skewed_df, output_dir=None, num_buckets=8, skew_turn_threshold=None
+    )["docs"]
+    got = {r["conv_id"]: r["transcription"] for r in routed.collect()}
+    want = {r["conv_id"]: r["transcription"] for r in unrouted.collect()}
+    assert got == want
+    assert "conv-99-00000-full_paper" in got
+
+
+def test_pipeline_stays_fast_path_without_skew(spark, skewed_df):
+    """with no conv over the threshold the routed pipeline must compile to the
+    plain single-assembler plan (no Union, no distributed DAG)."""
+    from scientific_papers_ocr_spark import pipeline
+
+    docs = pipeline.run_pipeline(
+        spark, skewed_df, output_dir=None, num_buckets=8, skew_turn_threshold=10_000
+    )["docs"]
+    plan = docs._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+
+
 def test_narrow_stage_shuffle_free_under_skew(skewed_df):
     # the corpus generator itself repartitions (visible under the cache);
     # extract_turns must add ZERO exchanges on top of its input

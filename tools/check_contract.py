@@ -26,7 +26,7 @@ TABLES = (
 def value_hash(rows: list[tuple], columns: list[str]) -> str:
     order = sorted(range(len(columns)), key=lambda i: columns[i])
     canon = sorted(
-        tuple(_norm(r[i]) for i in order) for r in rows
+        (tuple(_norm(r[i]) for i in order) for r in rows), key=repr
     )
     h = hashlib.md5()
     for row in canon:
