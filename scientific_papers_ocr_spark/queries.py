@@ -873,13 +873,84 @@ FROM documents
 
 
 def q_transcription_full(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full-fidelity flagship artifacts (canonical transcription + EDocument
-    JSON).  Byte-level equality vs the single-node oracle is pytest-verified
-    (tests/test_pipeline_equality.py); Python-regex segmentation semantics are
-    not SQL-expressible, so the driver check is rows-only."""
+    """The flagship artifact itself: the canonical cleaned transcription
+    (title + authors + abstract + capword'd sections + references list,
+    newline-squashed).  For the synthetic papers every byte is
+    formula-derived, so the DuckDB oracle rebuilds the ENTIRE transcription
+    string independently — segmentation boundaries, cross-page section
+    spans (incl. sentinel pages), reference entry parsing, and squash/strip
+    all have to agree exactly for the hash to match.  Arbitrary-input
+    byte-equality is additionally pytest-verified against the single-node
+    oracle (tests/test_pipeline_equality.py)."""
     tr = documents_as_papers(spark, sf_dir)
     out = pipeline.run_pipeline(spark, tr, output_dir=None, num_buckets=16)
-    return out["docs"].select("conv_id", "transcription", "edoc_json")
+    return out["docs"].select("conv_id", "transcription")
+
+
+def _transcription_sql() -> str:
+    def sec_render(j: int, text_expr: str) -> str:
+        return f"e'## Topic Alpha {j}\\n\\n' || {text_expr} || e'\\n\\n'"
+
+    # section j body as extracted by segmentation: span from heading start to
+    # the next heading (or the references heading), first paragraph break
+    # stripped; the LAST section spans pages 0→2 joined with single spaces
+    mid = {j: f"b{j} || e' end.\\n\\n'" for j in (1, 2)}
+    last = {
+        j: (
+            f"b{j} || e' end.\\n\\n' || ' ' || page1 || ' ' || "
+            "e'closing remarks follow here.\\n\\n' || body2 || e'\\n\\n'"
+        )
+        for j in (1, 2, 3)
+    }
+    sections = f"""CASE k
+      WHEN 1 THEN {sec_render(1, last[1])}
+      WHEN 2 THEN {sec_render(1, mid[1])} || {sec_render(2, last[2])}
+      ELSE {sec_render(1, mid[1])} || {sec_render(2, mid[2])} || {sec_render(3, last[3])}
+    END"""
+    refs = " || ".join(
+        f"CASE WHEN r >= {n} THEN '* [{n}] A. Author, Cited work {n}, "
+        f"Journal of Tests, 199{n}.' || e'\\n' ELSE '' END"
+        for n in range(1, 5)
+    )
+    return f"""
+WITH src AS (
+  SELECT doc_id, text,
+         substr(text, 1, 40) AS s0,
+         concat_ws(' ', trim(substr(text, 1, 40)), trim(substr(text, 1, 40)),
+                   trim(substr(text, 1, 40)), trim(substr(text, 1, 40))) AS body2,
+         (doc_id % 3) + 1 AS k,
+         (doc_id % 4) + 1 AS r,
+         substr(text, 11, 30) AS b1,
+         substr(text, 21, 30) AS b2,
+         substr(text, 31, 30) AS b3,
+         CASE WHEN doc_id % 7 = 0 THEN '[MISSING_PAGE_EMPTY:1]'
+              ELSE 'middle page discussion ' || substr(text, 1, 25)
+                   || e'.\\n\\nfurther notes ' || substr(text, 26, 25) || e'.\\n\\n'
+         END AS page1
+  FROM documents
+),
+built AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 3 = 0 THEN ''
+         ELSE printf('# Paper %d', doc_id) || e'\\n\\n' END
+    || CASE WHEN doc_id % 3 = 0 THEN ''
+            WHEN doc_id % 2 = 0 THEN e'**Alice Alpha**\\n\\n'
+            ELSE e'**Alice Alpha, Bob Beta**\\n\\n' END
+    || e'#### Abstract\\n\\nA ' || s0 || e'\\n\\n'
+    || {sections}
+    || e'## References\\n\\n' || {refs}
+    AS raw
+  FROM src
+)
+SELECT 'paper-' || CAST(doc_id AS VARCHAR) AS conv_id,
+       regexp_replace(regexp_replace(
+         regexp_replace(raw, '\\n{{3,}}', e'\\n\\n', 'g'),
+         '^\\s+', ''), '\\s+$', '') AS transcription
+FROM built
+"""
+
+
+SQL_TRANSCRIPTION_FULL = _transcription_sql()
 
 
 def q_citation_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1169,7 +1240,5 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "block_stream": (q_block_stream, SQL_BLOCK_STREAM),
     "rich_text_spans": (q_rich_text_spans, SQL_RICH_TEXT_SPANS),
     "edoc_roundtrip": (q_edoc_roundtrip, SQL_EDOC_ROUNDTRIP),
-    # rows-only: full-fidelity flagship artifacts (Python-regex segmentation
-    # semantics; byte-equality vs the single-node oracle is pytest-verified)
-    "transcription_full": (q_transcription_full, None),
+    "transcription_full": (q_transcription_full, SQL_TRANSCRIPTION_FULL),
 }
