@@ -12,13 +12,16 @@ wires that up:
 - ``stream_turn_counts``: watermarked per-conversation windowed counters —
   the metrics-layer example of event-time aggregation with late data.
 
-Per-conversation ASSEMBLY is deliberately batch-only: the reference's
-segmentation semantics need the whole document, i.e. a session window closed
-by data completeness, not time.  The streaming shape for it would be
-``applyInPandasWithState`` keyed by conv_id buffering turns until an
-end-of-conversation marker; we document rather than fake it — the batch wide
-stage over committed micro-batch output is the production pattern
-(stream-ingest, batch-assemble).
+Stateful operators:
+- ``stream_sessionize``: built-in ``session_window`` gap sessionization with
+  a watermark — the streaming twin of the batch ``sessionize`` query.
+- ``stream_assemble_conversations``: ``applyInPandasWithState`` keyed by
+  conv_id buffering raw turns until the conversation is complete (its
+  ``n_total`` turn count arrives — a data-completeness close, which is what
+  the reference's whole-document segmentation semantics require) or a
+  processing-time timeout flushes a partial document.  The closed buffer runs
+  the SAME single-node oracle (``assembly.process_document``) as the batch
+  wide stage, so streaming output equals batch output per conversation.
 """
 
 from __future__ import annotations
@@ -61,6 +64,114 @@ def stream_turn_counts(stream_df: DataFrame, window: str = "1 hour") -> DataFram
         .withWatermark("ts", "30 minutes")
         .groupBy(F.window("ts", window), F.col("kind"))
         .agg(F.count(F.lit(1)).alias("n_turns"))
+    )
+
+
+def stream_sessionize(stream_df: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Gap-based sessionization on a stream: watermarked ``session_window``
+    aggregation (state compaction handled by Spark's streaming session
+    operator) — the streaming twin of the batch lag+cumsum ``sessionize``
+    query, with identical gap semantics."""
+    return (
+        stream_df.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap).alias("session"), F.col("conv_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .select(
+            "conv_id",
+            F.col("session.start").alias("window_start"),
+            F.col("session.end").alias("window_end"),
+            "n_turns",
+            "session_start",
+            "session_end",
+        )
+    )
+
+
+ASSEMBLED_DOC = (
+    "conv_id string, n_turns int, complete boolean, title string, "
+    "n_sections int, n_refs int, transcription string"
+)
+_ASSEMBLY_STATE = "turn_idx array<int>, text array<string>, tool array<string>, n_total int"
+
+
+def stream_assemble_conversations(
+    stream_df: DataFrame, timeout_ms: int = 600_000
+) -> DataFrame:
+    """Custom stateful operator: per-conversation document assembly on a
+    stream via ``applyInPandasWithState``.
+
+    Rows must carry ``n_total`` (the conversation's total turn count — the
+    end-of-conversation signal; an explicit end-marker row works the same
+    way).  Turns buffer in group state; when the buffer reaches ``n_total``
+    the conversation closes and the single-node oracle assembles it
+    (byte-identical to the batch wide stage).  A processing-time timeout
+    flushes stragglers as ``complete = false`` partial documents, bounding
+    state size — late turns for a flushed conversation start a new partial.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..oracle import assembly
+
+    def assemble(key, pdf_iter, state: GroupState):
+        conv_id = key[0]
+        if state.hasTimedOut:
+            (turn_idx, text, tool, n_total) = state.get
+            state.remove()
+            yield _finish(conv_id, turn_idx, text, tool, complete=False)
+            return
+        turn_idx: list[int] = []
+        text: list[str] = []
+        tool: list[str] = []
+        n_total = None
+        if state.exists:
+            turn_idx, text, tool, n_total = state.get
+            turn_idx, text, tool = list(turn_idx), list(text), list(tool)
+        for pdf in pdf_iter:
+            turn_idx.extend(int(i) for i in pdf["turn_idx"])
+            text.extend(t if t is not None else "" for t in pdf["text"])
+            tool.extend(t if t is not None else "" for t in pdf["tool"])
+            if "n_total" in pdf.columns and len(pdf):
+                n_total = int(pdf["n_total"].iloc[0])
+        if n_total is not None and len(turn_idx) >= n_total:
+            state.remove()
+            yield _finish(conv_id, turn_idx, text, tool, complete=True)
+        else:
+            state.update((turn_idx, text, tool, n_total))
+            state.setTimeoutDuration(timeout_ms)
+
+    def _finish(conv_id, turn_idx, text, tool, complete):
+        rows = [
+            {"turn_idx": i, "text": t, "tool": o}
+            for i, t, o in zip(turn_idx, text, tool)
+        ]
+        doc = assembly.process_document(rows, conv_id=conv_id)
+        seg = doc["segmentation"]
+        return pd.DataFrame(
+            [
+                {
+                    "conv_id": conv_id,
+                    "n_turns": len(rows),
+                    "complete": complete,
+                    "title": (doc["meta"] or {}).get("title"),
+                    "n_sections": len(seg["sections"]),
+                    "n_refs": len(seg["references"]["entries"]) if seg["references"] else 0,
+                    "transcription": doc["transcription"],
+                }
+            ]
+        )
+
+    return stream_df.groupBy("conv_id").applyInPandasWithState(
+        assemble,
+        outputStructType=ASSEMBLED_DOC,
+        stateStructType=_ASSEMBLY_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
 
 

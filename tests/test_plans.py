@@ -88,3 +88,41 @@ def test_assembly_input_is_column_pruned(spark, corpus):
 def test_topk_is_take_ordered(spark):
     df = Q.q_embedding_topk(spark, SF)
     assert "TakeOrderedAndProject" in _plan(df)
+
+
+def test_ann_topk_broadcasts_query_and_takes_ordered(spark):
+    """The 1-row query dim must broadcast (never shuffle the fact side) and
+    the final top-k must be TakeOrderedAndProject, not a global sort; no
+    driver collect means no LocalTableScan of a collected row."""
+    df = Q.q_ann_topk(spark, SF)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_knn_pairs_join_is_bucketed_not_cartesian(spark):
+    df = Q.q_embedding_knn_pairs(spark, SF)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    # equi-join on the lsh bucket id
+    assert "lsh_bucket" in plan
+
+
+def test_paper_narrow_stage_has_no_exchange(spark):
+    """The flagship extract_turns over documents_as_papers: page synthesis
+    (explode) + pandas narrow stage must compile to a zero-exchange plan."""
+    tr = Q.documents_as_papers(spark, SF)
+    out = turnops.extract_turns(tr, num_buckets=16)
+    assert "Exchange" not in _plan(out)
+
+
+def test_routed_pipeline_fast_path_single_exchange(spark, corpus):
+    """run_pipeline with skew routing enabled but no oversized convs must
+    still compile the docs side to the single-exchange fast path."""
+    from scientific_papers_ocr_spark import pipeline
+
+    docs = pipeline.run_pipeline(
+        spark, corpus, output_dir=None, num_buckets=8, skew_turn_threshold=32768
+    )["docs"]
+    assert _plan(docs).count("Exchange hashpartitioning") == 1

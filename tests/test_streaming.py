@@ -67,3 +67,61 @@ def test_windowed_counts_run(spark, corpus_path, tmp_path):
     # covered by the batch lineage test — here we assert the query runs and
     # the plan is a legal watermarked streaming aggregation
     assert not q.isActive
+
+
+def test_stateful_assembly_matches_batch_oracle(spark, corpus_path, tmp_path):
+    """applyInPandasWithState per-conv assembly: conversations close on data
+    completeness (n_total reached) and the streamed documents byte-match the
+    single-node oracle's transcription."""
+    from pyspark.sql import functions as F
+
+    from scientific_papers_ocr_spark.oracle import assembly
+
+    base = stream_ext.stream_transcripts(spark, corpus_path)
+    # end-of-conversation signal: total turn count per conv (computed from
+    # the batch table here; a producer would attach it to each row)
+    totals = (
+        tsrc.read_transcripts(spark, corpus_path)
+        .groupBy("conv_id")
+        .count()
+        .withColumnRenamed("count", "n_total")
+    )
+    stream = base.join(F.broadcast(totals), on="conv_id")
+    docs = stream_ext.stream_assemble_conversations(stream)
+    q = (
+        docs.writeStream.format("memory")
+        .queryName("assembled_docs")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_state"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {r["conv_id"]: r for r in spark.sql("SELECT * FROM assembled_docs").collect()}
+    batch_rows = tsrc.read_transcripts(spark, corpus_path).collect()
+    convs = {}
+    for r in batch_rows:
+        convs.setdefault(r["conv_id"], []).append(
+            {"turn_idx": r["turn_idx"], "text": r["text"], "tool": r["tool"]}
+        )
+    assert set(got) == set(convs)
+    for cid, turns in convs.items():
+        oracle = assembly.process_document(turns, conv_id=cid)
+        assert got[cid]["complete"] is True
+        assert got[cid]["n_turns"] == len(turns)
+        assert got[cid]["transcription"] == oracle["transcription"], cid
+
+
+def test_stream_sessionize_runs(spark, corpus_path, tmp_path):
+    stream = stream_ext.stream_transcripts(spark, corpus_path)
+    sessions = stream_ext.stream_sessionize(stream, gap="30 minutes")
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
