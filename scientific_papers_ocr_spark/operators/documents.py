@@ -185,6 +185,114 @@ def assemble_documents(turns_out: DataFrame, num_partitions: int | None = None) 
     return arranged.mapInPandas(process, schema=schemas.DOCS_OUT)
 
 
+def assemble_documents_from_input(
+    transcripts_df: DataFrame,
+    verdicts_df: DataFrame,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Single-shuffle assembly for the 100 TB table layout where the turns
+    table stores ``page_text`` only for REPAIRED turns (never a second copy
+    of the immutable input text).
+
+    Physical strategy: tag-union the input text rows (tag 0) with the small
+    verdict rows (tag 1, repaired text or null), hash-repartition ONCE on
+    ``conv_id``, ``sortWithinPartitions(conv_id, turn_idx, tag)``, and merge
+    pairs inside the same batched carry pass as ``assemble_documents`` —
+    page bytes cross the exchange exactly once, and a join (which would
+    shuffle the text a second time for the join hash plus again for the
+    assembly partitioning) never happens.  This is a hand-rolled
+    shuffle-merge join exploiting that both sides share the partitioning key.
+    """
+    inputs = transcripts_df.select(
+        "conv_id",
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+        F.lit(0).alias("tag"),
+        F.col("text").alias("page_text"),
+        F.lit(None).cast("string").alias("status"),
+        F.lit(None).cast("string").alias("meta_json"),
+        F.lit(None).cast("int").alias("bucket"),
+    )
+    verdicts = verdicts_df.select(
+        "conv_id",
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+        F.lit(1).alias("tag"),
+        "page_text",
+        "status",
+        "meta_json",
+        "bucket",
+    )
+    unioned = inputs.unionByName(verdicts)
+
+    def process(batches):
+        carry: pd.DataFrame | None = None
+
+        def emit(pdf: pd.DataFrame) -> pd.DataFrame:
+            rows = []
+            # merge (tag 0, tag 1) row pairs per turn: effective page text is
+            # the verdict's repaired text when present, else the input text
+            cids = pdf["conv_id"].values
+            tags = pdf["tag"].values
+            texts = pdf["page_text"].values
+            metas = pdf["meta_json"].values
+            buckets = pdf["bucket"].values
+            lo = 0
+            for i in range(1, len(cids) + 1):
+                if i == len(cids) or cids[i] != cids[lo]:
+                    pages: list[str] = []
+                    meta_cells: list = []
+                    bucket = 0
+                    j = lo
+                    while j < i:
+                        if tags[j] == 0:
+                            base = texts[j] if texts[j] is not None else ""
+                            if j + 1 < i and tags[j + 1] == 1:
+                                v = texts[j + 1]
+                                pages.append(v if v is not None else base)
+                                meta_cells.append(metas[j + 1])
+                                if buckets[j + 1] is not None:
+                                    bucket = int(buckets[j + 1])
+                                j += 2
+                            else:  # verdict row missing (shouldn't happen)
+                                pages.append(base)
+                                meta_cells.append(None)
+                                j += 1
+                        else:  # orphan verdict row
+                            pages.append(texts[j] if texts[j] is not None else "")
+                            meta_cells.append(metas[j])
+                            if buckets[j] is not None:
+                                bucket = int(buckets[j])
+                            j += 1
+                    rows.append(
+                        _assemble_rows(cids[lo], bucket, pages, meta_cells)
+                    )
+                    lo = i
+            return pd.DataFrame(rows)
+
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if not len(pdf):
+                continue
+            cids = pdf["conv_id"].values
+            last = cids[-1]
+            split = len(cids)
+            while split > 0 and cids[split - 1] == last:
+                split -= 1
+            carry = pdf.iloc[split:].reset_index(drop=True)
+            if split:
+                yield emit(pdf.iloc[:split])
+        if carry is not None and len(carry):
+            yield emit(carry)
+
+    arranged = (
+        unioned.repartition(num_partitions, "conv_id")
+        if num_partitions
+        else unioned.repartition("conv_id")
+    ).sortWithinPartitions("conv_id", "turn_idx", "tag")
+    return arranged.mapInPandas(process, schema=schemas.DOCS_OUT)
+
+
 def explode_spans(docs_out: DataFrame) -> DataFrame:
     """Document rows → span table (abstract + sections + references start),
     one row per detected span with stable ``(turn_idx, pos)`` coordinates."""

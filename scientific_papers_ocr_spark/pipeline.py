@@ -34,7 +34,12 @@ def add_bucket(df: DataFrame, num_buckets: int) -> DataFrame:
 
 def lineage_rows(turns_out: DataFrame) -> DataFrame:
     """Per-bucket counters + an order-insensitive content checksum
-    (SURVEY.md §2.4 A10; north rule lineage + metrics)."""
+    (SURVEY.md §2.4 A10; north rule lineage + metrics).
+
+    Under ``store_page_text="repaired_only"`` the checksum covers ids,
+    statuses and repaired content only (``concat_ws`` skips the null
+    page_text of unchanged turns); the unchanged input bytes are
+    content-addressed by the immutable source table."""
     return turns_out.groupBy("bucket").agg(
         F.countDistinct("conv_id").alias("n_convs"),
         F.count(F.lit(1)).alias("n_turns"),
@@ -86,6 +91,7 @@ def run_pipeline(
     num_buckets: int = 64,
     resume: bool = False,
     skew_turn_threshold: int | None = 32768,
+    store_page_text: str = "always",
 ) -> dict[str, DataFrame]:
     """Run the full pipeline; when ``output_dir`` is set, materialise the
     turns/docs/spans/lineage tables there (partitioned by bucket) and, with
@@ -98,7 +104,19 @@ def run_pipeline(
     AQE re-plans from runtime statistics; when no conversation crosses the
     threshold the plan is exactly the single-exchange fast path.  None
     disables routing.
+
+    ``store_page_text="repaired_only"``: the 100 TB table layout — the turns
+    table stores ``page_text`` only where column repair changed it, never a
+    second copy of the immutable input text (roughly halves turns-table
+    bytes and the narrow stage's Python→JVM Arrow stream).  Assembly then
+    merges the input text back in with a tag-union single-shuffle pass
+    (``assemble_documents_from_input``); the lineage checksum covers ids,
+    statuses and repaired content (the unchanged input is content-addressed
+    by the source table itself).  Mega-conversation routing is not yet
+    supported in this mode.
     """
+    if store_page_text not in ("always", "repaired_only"):
+        raise ValueError(f"unknown store_page_text mode: {store_page_text}")
     df = add_bucket(transcripts_df, num_buckets)
 
     done = None
@@ -122,10 +140,23 @@ def run_pipeline(
         if candidates.limit(1).count() > 0:
             big_ids = candidates
 
-    turns_out = turns.extract_turns(df.drop("bucket"), num_buckets=num_buckets)
+    if store_page_text == "repaired_only" and big_ids is not None:
+        raise NotImplementedError(
+            "mega-conversation routing requires store_page_text='always' "
+            "(the distributed assembler reads page_text from the turns table)"
+        )
+
+    turns_out = turns.extract_turns(
+        df.drop("bucket"), num_buckets=num_buckets, page_text_mode=store_page_text
+    )
+
+    def assemble(turns_src: DataFrame) -> DataFrame:
+        if store_page_text == "repaired_only":
+            return documents.assemble_documents_from_input(df, turns_src)
+        return _assemble_routed(turns_src, big_ids)
 
     if not output_dir:
-        docs_out = _assemble_routed(turns_out, big_ids)
+        docs_out = assemble(turns_out)
         return {
             "turns": turns_out,
             "docs": docs_out,
@@ -147,7 +178,7 @@ def run_pipeline(
 
     # assemble/lineage ONLY the buckets processed in this run — committed
     # buckets keep their existing docs/spans partitions and lineage rows
-    docs_out = _assemble_routed(fresh_turns, big_ids)
+    docs_out = assemble(fresh_turns)
     tsrc.write_partitioned(docs_out, os.path.join(output_dir, "docs"))
     fresh_docs = (
         spark.read.parquet(os.path.join(output_dir, "docs")).join(

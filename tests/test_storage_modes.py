@@ -1,0 +1,68 @@
+"""store_page_text="repaired_only": the 100 TB turns-table layout (no second
+copy of unchanged input text) must produce byte-identical documents through
+the tag-union single-shuffle assembly, and the materialised turns table must
+actually drop the unchanged page bytes."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from scientific_papers_ocr_spark import fixtures, pipeline
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return fixtures.spark_corpus(spark, 20, seed=11).cache()
+
+
+def test_repaired_only_docs_match_default(spark, corpus, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("slim"))
+    default = pipeline.run_pipeline(spark, corpus, output_dir=None, num_buckets=8)
+    slim = pipeline.run_pipeline(
+        spark, corpus, output_dir=out, num_buckets=8,
+        store_page_text="repaired_only",
+    )
+    want = {
+        r["conv_id"]: (r["transcription"], r["edoc_json"], r["n_sections"],
+                       r["n_refs"], r["n_turns"], r["bucket"])
+        for r in default["docs"].collect()
+    }
+    got = {
+        r["conv_id"]: (r["transcription"], r["edoc_json"], r["n_sections"],
+                       r["n_refs"], r["n_turns"], r["bucket"])
+        for r in slim["docs"].collect()
+    }
+    assert got == want
+
+
+def test_repaired_only_turns_table_is_sparse(spark, corpus, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("slim2"))
+    slim = pipeline.run_pipeline(
+        spark, corpus, output_dir=out, num_buckets=8,
+        store_page_text="repaired_only",
+    )
+    turns = slim["turns"]
+    stored = turns.where(F.col("page_text").isNotNull())
+    assert 0 < stored.count() < turns.count()
+    # only repaired (incomplete-status) turns carry page bytes
+    assert {r["status"] for r in stored.select("status").distinct().collect()} == {
+        "incomplete"
+    }
+
+
+def test_repaired_only_single_exchange(spark, corpus):
+    docs = pipeline.run_pipeline(
+        spark, corpus, output_dir=None, num_buckets=8,
+        store_page_text="repaired_only",
+    )["docs"]
+    plan = docs._jdf.queryExecution().executedPlan().toString()
+    # tag-union then ONE hash exchange on conv_id — a join would add a second
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_repaired_only_rejects_skew_routing(spark):
+    zipf = fixtures.spark_corpus(spark, 8, seed=42, zipf_max_turns=60)
+    with pytest.raises(NotImplementedError):
+        pipeline.run_pipeline(
+            spark, zipf, output_dir=None, num_buckets=8,
+            store_page_text="repaired_only", skew_turn_threshold=10,
+        )
