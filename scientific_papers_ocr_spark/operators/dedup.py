@@ -168,6 +168,46 @@ def jaccard_pairs(
     )
 
 
+def winnow_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03 — the
+    rolling-hash fingerprinting scheme): hash every k-word shingle, slide a
+    w-shingle window, keep each full window's minimum hash.  Any shared run
+    of ≥ k+w-1 words between two documents is guaranteed to share a
+    fingerprint, at ~2/(w+1) selection density.
+
+    Scale shape: the window min is a bounded ROWS frame over the in-document
+    shingle order (running-window, no sort explosion); output is the
+    (id, fingerprint) posting table you join on for plagiarism/overlap-style
+    matching."""
+    from pyspark.sql import Window
+
+    words = F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)), "\\s+", " ")), " ")
+    with_words = docs.select(F.col(id_col), words.alias("words")).where(
+        F.size("words") >= k + w - 1
+    )
+    idxs = F.sequence(F.lit(0), F.size("words") - F.lit(k))
+    shingle = lambda i: F.array_join(F.slice(F.col("words"), i + 1, k), " ")  # noqa: E731
+    positioned = with_words.select(
+        F.col(id_col),
+        (F.size("words") - F.lit(k)).alias("max_pos"),
+        F.posexplode(F.transform(idxs, shingle)).alias("pos", "shingle"),
+    )
+    win = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, w - 1)
+    return (
+        positioned.withColumn("h", F.md5(F.col("shingle")))
+        .withColumn("win_min", F.min("h").over(win))
+        .where(F.col("pos") <= F.col("max_pos") - (w - 1))  # full windows only
+        .select(F.col(id_col), F.col("win_min").alias("fingerprint"))
+        .distinct()
+    )
+
+
 def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16) -> DataFrame:
     """SimHash over word shingles using md5-nibble bit votes.
 

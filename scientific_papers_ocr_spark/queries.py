@@ -371,6 +371,22 @@ SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
 """
 
 
+def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish pre-tokenizer count (letter runs / digit runs / punctuation
+    marks) — the portable stand-in for tokenizer-based length budgeting."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", text_analysis.bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens")
+    )
+
+
+SQL_BPE_TOKENS = f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{text_analysis.BPE_ISH_PATTERN}')) AS n_bpe_tokens
+FROM documents
+"""
+
+
 def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID + quality scoring profile."""
     d = _t(spark, sf_dir, "documents")
@@ -482,6 +498,114 @@ unp AS (
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 FROM unp a JOIN unp b
   ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+"""
+
+
+def q_lsh_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB near-dup path end-to-end over ALL documents: banded LSH
+    candidates (b=4, r=2) → exact n-gram Jaccard verification restricted to
+    the candidate pairs (left-semi) — never an all-pairs scan."""
+    sh = dedup.word_shingles(_t(spark, sf_dir, "documents"))
+    cands = dedup.lsh_candidate_pairs(
+        dedup.lsh_band_values(sh, n_bands=4, rows_per_band=2)
+    )
+    return dedup.jaccard_pairs(sh, threshold=0.1, candidates=cands)
+
+
+SQL_LSH_JACCARD = f"""
+WITH shingles AS ({_SHINGLE_SQL}),
+sigs AS (
+  SELECT doc_id,
+         {", ".join(f"min(md5(shingle || '#s{i}')) AS m{i}" for i in range(8))}
+  FROM shingles GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id,
+         {", ".join(f"md5(m{2 * b} || '|' || m{2 * b + 1}) AS band_{b}" for b in range(4))}
+  FROM sigs
+),
+unp AS (
+  SELECT doc_id, 0 AS band_idx, band_0 AS band_val FROM bands
+  UNION ALL SELECT doc_id, 1, band_1 FROM bands
+  UNION ALL SELECT doc_id, 2, band_2 FROM bands
+  UNION ALL SELECT doc_id, 3, band_3 FROM bands
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM unp a JOIN unp b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.id_a, i.id_b,
+       round(n_common * 1.0 / (sa.n + sb.n - n_common), 4) AS jaccard
+FROM inter i
+JOIN cands c ON c.id_a = i.id_a AND c.id_b = i.id_b
+JOIN sizes sa ON sa.doc_id = i.id_a JOIN sizes sb ON sb.doc_id = i.id_b
+WHERE round(n_common * 1.0 / (sa.n + sb.n - n_common), 4) >= 0.1
+"""
+
+
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing rolling-window fingerprints (k=3-word shingles, w=4
+    windows) over the first 100 docs — the posting table for overlap
+    matching."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    return dedup.winnow_fingerprints(d, k=3, w=4)
+
+
+SQL_WINNOW_FINGERPRINTS = """
+WITH w AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS words
+  FROM documents WHERE doc_id < 100
+),
+pos AS (
+  SELECT doc_id,
+         len(words) - 3 AS max_pos,
+         UNNEST(generate_series(0, len(words) - 3)) AS p,
+         words
+  FROM w WHERE len(words) >= 6
+),
+hashed AS (
+  SELECT doc_id, p, max_pos,
+         md5(array_to_string(words[p + 1 : p + 3], ' ')) AS h
+  FROM pos
+),
+winmin AS (
+  SELECT doc_id, p, max_pos,
+         min(h) OVER (PARTITION BY doc_id ORDER BY p
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS win_min
+  FROM hashed
+)
+SELECT DISTINCT doc_id, win_min AS fingerprint
+FROM winmin WHERE p <= max_pos - 3
+"""
+
+
+def q_dedup_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup APPLICATION: the keep-list after exact dedup (min doc_id per
+    normalized fingerprint survives) — the filter you run a corpus through
+    before training."""
+    d = _t(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id", text_analysis.normalized_fingerprint(F.col("text")).alias("fp")
+    )
+    keep = keyed.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    return keyed.join(keep, on=["fp", "doc_id"], how="left_semi").select("doc_id")
+
+
+SQL_DEDUP_FILTER = """
+WITH keyed AS (
+  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+  FROM documents
+),
+keep AS (SELECT fp, min(doc_id) AS doc_id FROM keyed GROUP BY fp)
+SELECT k.doc_id FROM keyed k JOIN keep USING (fp, doc_id)
 """
 
 
@@ -1223,12 +1347,16 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "newline_squash": (q_newline_squash, SQL_NEWLINE_SQUASH),
     "token_count": (q_token_count, SQL_TOKEN_COUNT),
+    "bpe_tokens": (q_bpe_tokens, SQL_BPE_TOKENS),
     "text_profile": (q_text_profile, SQL_TEXT_PROFILE),
     "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
     "exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
     "minhash_signatures": (q_minhash_signatures, SQL_MINHASH_SIGNATURES),
     "minhash_candidates": (q_minhash_candidates, SQL_MINHASH_CANDIDATES),
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
+    "lsh_jaccard": (q_lsh_jaccard, SQL_LSH_JACCARD),
+    "winnow_fingerprints": (q_winnow_fingerprints, SQL_WINNOW_FINGERPRINTS),
+    "dedup_filter": (q_dedup_filter, SQL_DEDUP_FILTER),
     "simhash": (q_simhash, SQL_SIMHASH),
     "embedding_topk": (q_embedding_topk, SQL_EMBEDDING_TOPK),
     "layout_blocks": (q_layout_blocks, SQL_LAYOUT_BLOCKS),

@@ -101,6 +101,50 @@ class TestDedup:
         assert len(tight) < len(loose)
         assert (0, 1) in tight          # exact dups always survive
 
+    def test_winnowing_guarantee(self, spark):
+        """Schleimer et al. guarantee: two docs sharing a run of >= k+w-1
+        words share at least one fingerprint; disjoint docs share none."""
+        shared = "alpha beta gamma delta epsilon zeta"          # 6 = k+w-1
+        rows = [
+            (0, f"one two {shared} three four five six"),
+            (1, f"nine ten eleven {shared} twelve thirteen fourteen"),
+            (2, "wholly unrelated words only here nothing common present"),
+        ]
+        d = spark.createDataFrame(rows, ["doc_id", "text"])
+        fp = dedup.winnow_fingerprints(d, k=3, w=4)
+        by_doc = {}
+        for r in fp.collect():
+            by_doc.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+        assert by_doc[0] & by_doc[1], "shared 6-word run must share a fingerprint"
+        assert not (by_doc[0] & by_doc[2])
+        assert not (by_doc[1] & by_doc[2])
+
+    def test_dedup_filter_keeps_one_per_group(self, spark):
+        rows = [
+            (0, "same text here"), (5, "Same   TEXT here"),   # normalize-equal
+            (2, "different entirely"), (9, "same text here"),
+        ]
+        d = spark.createDataFrame(rows, ["doc_id", "text"])
+        keyed = d.select(
+            "doc_id", text_analysis.normalized_fingerprint(F.col("text")).alias("fp")
+        )
+        keep = keyed.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+        kept = sorted(
+            r["doc_id"]
+            for r in keyed.join(keep, on=["fp", "doc_id"], how="left_semi").collect()
+        )
+        assert kept == [0, 2]
+
+    def test_bpe_ish_tokens(self, spark):
+        d = spark.createDataFrame(
+            [(0, "hello world42, x=y;")], ["doc_id", "text"]
+        )
+        n = d.select(
+            text_analysis.bpe_ish_token_count(F.col("text")).alias("n")
+        ).first()["n"]
+        # hello | world | 42 | , | x | = | y | ;
+        assert n == 8
+
     def test_jaccard_exact_value(self, docs):
         sh = dedup.word_shingles(docs)
         pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
