@@ -153,6 +153,48 @@ def ann_topk(
     )
 
 
+def most_similar_segment(
+    df: DataFrame,
+    segments_col: str = "segments",
+    query_col: str = "query",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """O3 similarity-argmax analog (``find_most_similar_segment``,
+    static_method_classes.py:52-73): for each row, the segment most similar
+    to the query text.
+
+    The reference scores SentenceTransformer-embedding cosine per segment
+    and keeps the first strict maximum; the clean-room scorer is token-set
+    cosine (|A∩B| / sqrt(|A||B|) over distinct lower-cased words) — pure
+    column math, deterministic, engine-portable.  Argmax via a bounded
+    per-row reduce, ties to the earliest segment (the reference's
+    strictly-greater update rule)."""
+    words = lambda c: F.array_distinct(F.split(F.lower(c), " "))  # noqa: E731
+    seg = df.select(
+        id_col,
+        F.col(query_col).alias("q"),
+        F.posexplode(segments_col).alias("seg_idx", "segment"),
+    )
+    inter = F.size(F.array_intersect(words(F.col("segment")), words(F.col("q"))))
+    denom = F.sqrt(
+        F.size(words(F.col("segment"))).cast("double")
+        * F.size(words(F.col("q"))).cast("double")
+    )
+    scored = seg.select(
+        id_col,
+        "seg_idx",
+        F.round(inter / denom, 4).alias("seg_cosine"),
+    )
+    return scored.groupBy(id_col).agg(
+        F.max_by(
+            F.col("seg_idx"), F.struct(F.col("seg_cosine"), -F.col("seg_idx"))
+        ).alias("best_seg_idx"),
+        F.max(F.struct(F.col("seg_cosine"), -F.col("seg_idx")))["seg_cosine"].alias(
+            "best_cosine"
+        ),
+    )
+
+
 def pairwise_cosine_knn(
     df: DataFrame,
     k: int = 5,

@@ -66,10 +66,84 @@ def predict_lang(text: Column) -> Column:
     return F.when(stopword_ratio(text) >= 0.08, F.lit("en")).otherwise(F.lit("other"))
 
 
+# Highest-frequency english character bigrams (public frequency tables).
+EN_BIGRAMS = ("th", "he", "in", "er", "an", "re", "on", "at", "en", "nd")
+
+
+def lang_bigram_score(text: Column) -> Column:
+    """Character-n-gram language signal: density of top english bigrams per
+    character (non-overlapping counts — identical semantics in Spark and
+    DuckDB ``regexp_count``).  Combine with ``stopword_ratio`` for a
+    two-signal language ID; n-gram profiles for other languages slot in as
+    more bigram tuples."""
+    total = F.lit(0)
+    for bg in EN_BIGRAMS:
+        total = total + F.regexp_count(F.lower(text), F.lit(bg))
+    return total / F.length(text)
+
+
+def predict_lang_ngram(text: Column, threshold: float = 0.05) -> Column:
+    """N-gram language ID: english when the bigram-profile density clears
+    the threshold."""
+    return F.when(lang_bigram_score(text) >= threshold, F.lit("en")).otherwise(
+        F.lit("other")
+    )
+
+
 def normalized_fingerprint(text: Column) -> Column:
     """Document fingerprint: md5 of lower-cased, whitespace-collapsed,
     trimmed text.  Exact-dedup key; identical in Spark and DuckDB."""
     return F.md5(F.trim(F.regexp_replace(F.lower(text), "\\s+", " ")))
+
+
+def remove_unknown_words(
+    docs: DataFrame,
+    vocabulary: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    word_col: str = "word",
+) -> DataFrame:
+    """F7 spellcheck-filter analog (``remove_misspelled_words``,
+    static_method_classes.py:135-143): drop words not present in a dictionary
+    table, preserving word order.
+
+    The reference consults a SpellChecker lexicon per word; the distributed
+    shape is explode → broadcast left-semi join against the dictionary →
+    in-order reassembly (``array_sort(collect_list(struct(pos, word)))``).
+    Dictionaries broadcast (a few MB); corpus text never shuffles twice.
+    """
+    words = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "w"),
+    )
+    kept = words.join(
+        F.broadcast(vocabulary.select(F.col(word_col).alias("w"))),
+        on="w",
+        how="left_semi",
+    )
+    return kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "w"))), lambda s: s["w"]
+            ),
+            " ",
+        ).alias("filtered_text")
+    )
+
+
+def corpus_vocabulary(
+    docs: DataFrame, text_col: str = "text", min_count: int = 2
+) -> DataFrame:
+    """Corpus-frequency dictionary: words seen at least ``min_count`` times —
+    the data-derived lexicon that stands in for the reference's SpellChecker
+    word list at corpus scale (rare tokens ≈ OCR garbage)."""
+    return (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= min_count)
+        .select("word")
+    )
 
 
 def profile_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:

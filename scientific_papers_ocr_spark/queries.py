@@ -416,6 +416,29 @@ FROM w
 """
 
 
+def q_lang_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-bigram language-ID (n-gram heuristic)."""
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        F.round(text_analysis.lang_bigram_score(t), 4).alias("bigram_score"),
+        text_analysis.predict_lang_ngram(t).alias("lang_ngram"),
+    )
+
+
+_BIGRAM_SUM_SQL = " + ".join(
+    f"len(regexp_extract_all(lower(text), '{bg}'))" for bg in text_analysis.EN_BIGRAMS
+)
+SQL_LANG_NGRAM = f"""
+SELECT doc_id,
+       round(({_BIGRAM_SUM_SQL}) * 1.0 / length(text), 4) AS bigram_score,
+       CASE WHEN ({_BIGRAM_SUM_SQL}) * 1.0 / length(text) >= 0.05
+            THEN 'en' ELSE 'other' END AS lang_ngram
+FROM documents
+"""
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return d.select(
@@ -784,6 +807,86 @@ SELECT id_a, id_b, cosine, "rank" FROM ranked WHERE "rank" <= {k}
 
 
 SQL_EMBEDDING_KNN_PAIRS = _knn_pairs_sql(bucket_planes=4, k=3, max_id=200)
+
+
+def q_spellfix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 spellcheck-filter analog: inject one unique junk token per doc,
+    build the corpus-frequency dictionary (words seen ≥2 times), drop
+    out-of-dictionary words, reassemble in order."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    noisy = d.select(
+        "doc_id",
+        F.concat("text", F.lit(" qzx"), F.col("doc_id").cast("string")).alias("text"),
+    )
+    vocab = text_analysis.corpus_vocabulary(noisy, min_count=2)
+    return text_analysis.remove_unknown_words(noisy, vocab)
+
+
+SQL_SPELLFIX_FILTER = """
+WITH noisy AS (
+  SELECT doc_id, text || ' qzx' || CAST(doc_id AS VARCHAR) AS text
+  FROM documents WHERE doc_id < 200
+),
+words AS (
+  SELECT doc_id,
+         UNNEST(string_split(text, ' ')) AS w,
+         UNNEST(generate_series(1, len(string_split(text, ' ')))) AS pos
+  FROM noisy
+),
+vocab AS (SELECT w FROM words GROUP BY w HAVING count(*) >= 2)
+SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS filtered_text
+FROM words JOIN vocab USING (w)
+GROUP BY doc_id
+"""
+
+
+def q_segment_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3 similarity-argmax analog: per doc, the text third most similar to
+    an 80-char probe (token-set cosine, first-strict-max tie rule)."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    third = (F.length("text") / 3).cast("int") + 1
+    segments = F.array(
+        F.col("text").substr(F.lit(1), third),
+        F.col("text").substr(third + 1, third),
+        F.col("text").substr(third * 2 + 1, third),
+    )
+    base = d.select(
+        "doc_id",
+        segments.alias("segments"),
+        F.col("text").substr(F.lit(21), F.lit(80)).alias("query"),
+    )
+    return similarity.most_similar_segment(base)
+
+
+SQL_SEGMENT_ARGMAX = """
+WITH base AS (
+  -- floor, not CAST: DuckDB CAST(float AS INT) rounds; Spark cast truncates
+  SELECT doc_id, text, CAST(floor(length(text) / 3) AS INT) + 1 AS third,
+         substr(text, 21, 80) AS q
+  FROM documents WHERE doc_id < 200
+),
+segs AS (
+  SELECT doc_id, 0 AS seg_idx, substr(text, 1, third) AS segment, q FROM base
+  UNION ALL SELECT doc_id, 1, substr(text, third + 1, third), q FROM base
+  UNION ALL SELECT doc_id, 2, substr(text, 2 * third + 1, third), q FROM base
+),
+scored AS (
+  SELECT doc_id, seg_idx,
+         round(
+           len(list_intersect(list_distinct(string_split(lower(segment), ' ')),
+                              list_distinct(string_split(lower(q), ' '))))
+           / sqrt(len(list_distinct(string_split(lower(segment), ' ')))
+                  * len(list_distinct(string_split(lower(q), ' ')))), 4) AS seg_cosine
+  FROM segs
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY seg_cosine DESC, seg_idx) AS rn
+  FROM scored
+)
+SELECT doc_id, seg_idx AS best_seg_idx, seg_cosine AS best_cosine
+FROM r WHERE rn = 1
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1349,6 +1452,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "token_count": (q_token_count, SQL_TOKEN_COUNT),
     "bpe_tokens": (q_bpe_tokens, SQL_BPE_TOKENS),
     "text_profile": (q_text_profile, SQL_TEXT_PROFILE),
+    "lang_ngram": (q_lang_ngram, SQL_LANG_NGRAM),
     "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
     "exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
     "minhash_signatures": (q_minhash_signatures, SQL_MINHASH_SIGNATURES),
@@ -1360,6 +1464,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "simhash": (q_simhash, SQL_SIMHASH),
     "embedding_topk": (q_embedding_topk, SQL_EMBEDDING_TOPK),
     "layout_blocks": (q_layout_blocks, SQL_LAYOUT_BLOCKS),
+    "spellfix_filter": (q_spellfix_filter, SQL_SPELLFIX_FILTER),
+    "segment_argmax": (q_segment_argmax, SQL_SEGMENT_ARGMAX),
     "citation_parse": (q_citation_parse, SQL_CITATION_PARSE),
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
     "embedding_knn_pairs": (q_embedding_knn_pairs, SQL_EMBEDDING_KNN_PAIRS),

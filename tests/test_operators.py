@@ -135,6 +135,41 @@ class TestDedup:
         )
         assert kept == [0, 2]
 
+    def test_remove_unknown_words_preserves_order(self, spark):
+        # F7 analog (static_method_classes.py:135-143): out-of-dictionary
+        # words drop, order preserved
+        docs = spark.createDataFrame(
+            [(0, "alpha zz9 beta gamma qq8 alpha")], ["doc_id", "text"]
+        )
+        vocab = spark.createDataFrame(
+            [("alpha",), ("beta",), ("gamma",)], ["word"]
+        )
+        got = text_analysis.remove_unknown_words(docs, vocab).first()
+        assert got["filtered_text"] == "alpha beta gamma alpha"
+
+    def test_corpus_vocabulary_threshold(self, spark):
+        docs = spark.createDataFrame(
+            [(0, "a a b"), (1, "a c")], ["doc_id", "text"]
+        )
+        vocab = {r["word"] for r in
+                 text_analysis.corpus_vocabulary(docs, min_count=2).collect()}
+        assert vocab == {"a"}
+
+    def test_most_similar_segment_argmax(self, spark):
+        # O3 analog (static_method_classes.py:52-73): first strict maximum
+        df = spark.createDataFrame(
+            [(0, ["cat dog fish", "red blue green", "cat dog bird"], "cat dog fish")],
+            ["doc_id", "segments", "query"],
+        )
+        got = similarity.most_similar_segment(df).first()
+        assert got["best_seg_idx"] == 0
+        assert got["best_cosine"] == 1.0
+        # tie between identical segments -> earliest wins
+        df2 = spark.createDataFrame(
+            [(1, ["x y", "x y"], "x y")], ["doc_id", "segments", "query"]
+        )
+        assert similarity.most_similar_segment(df2).first()["best_seg_idx"] == 0
+
     def test_bpe_ish_tokens(self, spark):
         d = spark.createDataFrame(
             [(0, "hello world42, x=y;")], ["doc_id", "text"]
