@@ -135,23 +135,34 @@ def jaccard_pairs(
 ) -> DataFrame:
     """N-gram Jaccard similarity per doc pair via shingle equi-join.
 
-    With ``candidates`` (e.g. LSH output) the join is restricted to candidate
-    pairs — the 100 TB path; without, all co-shingled pairs are scored (test
-    scale only)."""
+    With ``candidates`` (e.g. LSH output) the candidate set DRIVES the join —
+    candidates → id_a's shingles → equi-join id_b's shingles — so the work is
+    linear in Σ(candidate-pair shingle counts), never in the co-shingled pair
+    blowup; this ordering is what makes verification feasible at 100 TB.
+    Without ``candidates``, all co-shingled pairs are scored (test scale
+    only)."""
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
-    a = shingles.alias("a")
-    b = shingles.alias("b")
-    inter = (
-        a.join(b, on="shingle")
-        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .groupBy(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
     if candidates is not None:
-        inter = inter.join(candidates, on=["id_a", "id_b"], how="left_semi")
+        sh_a = shingles.select(F.col(id_col).alias("id_a"), "shingle")
+        sh_b = shingles.select(F.col(id_col).alias("id_b"), "shingle")
+        inter = (
+            candidates.join(sh_a, on="id_a")
+            .join(sh_b, on=["id_b", "shingle"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+    else:
+        a = shingles.alias("a")
+        b = shingles.alias("b")
+        inter = (
+            a.join(b, on="shingle")
+            .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .groupBy(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+            )
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("size_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("size_b"))
     return (

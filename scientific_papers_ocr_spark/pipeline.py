@@ -112,8 +112,9 @@ def run_pipeline(
     merges the input text back in with a tag-union single-shuffle pass
     (``assemble_documents_from_input``); the lineage checksum covers ids,
     statuses and repaired content (the unchanged input is content-addressed
-    by the source table itself).  Mega-conversation routing is not yet
-    supported in this mode.
+    by the source table itself).  Mega-conversations still route to the
+    distributed assembler: their effective page text is reconstructed with a
+    join bounded to the skew tail.
     """
     if store_page_text not in ("always", "repaired_only"):
         raise ValueError(f"unknown store_page_text mode: {store_page_text}")
@@ -140,19 +141,36 @@ def run_pipeline(
         if candidates.limit(1).count() > 0:
             big_ids = candidates
 
-    if store_page_text == "repaired_only" and big_ids is not None:
-        raise NotImplementedError(
-            "mega-conversation routing requires store_page_text='always' "
-            "(the distributed assembler reads page_text from the turns table)"
-        )
-
     turns_out = turns.extract_turns(
         df.drop("bucket"), num_buckets=num_buckets, page_text_mode=store_page_text
     )
 
     def assemble(turns_src: DataFrame) -> DataFrame:
         if store_page_text == "repaired_only":
-            return documents.assemble_documents_from_input(df, turns_src)
+            if big_ids is None:
+                return documents.assemble_documents_from_input(df, turns_src)
+            # skew tail only: reconstruct effective page text for the few
+            # oversized convs with an equi-join (bounded — the tail is tiny),
+            # route them to the distributed assembler; everything else takes
+            # the single-shuffle tag-union merge
+            from .operators import segment_distributed
+
+            small_in = df.join(F.broadcast(big_ids), on="conv_id", how="left_anti")
+            small_v = turns_src.join(F.broadcast(big_ids), on="conv_id", how="left_anti")
+            big_in = (
+                df.join(F.broadcast(big_ids), on="conv_id", how="left_semi")
+                .select("conv_id", F.col("turn_idx").cast("int").alias("turn_idx"), "text")
+            )
+            big_v = turns_src.join(F.broadcast(big_ids), on="conv_id", how="left_semi")
+            effective_big = (
+                big_v.withColumnRenamed("page_text", "repaired")
+                .join(big_in, on=["conv_id", "turn_idx"])
+                .withColumn("page_text", F.coalesce("repaired", "text"))
+                .drop("repaired", "text")
+            )
+            return documents.assemble_documents_from_input(small_in, small_v).unionByName(
+                segment_distributed.assemble_documents_distributed(effective_big)
+            )
         return _assemble_routed(turns_src, big_ids)
 
     if not output_dir:

@@ -59,10 +59,18 @@ def test_repaired_only_single_exchange(spark, corpus):
     assert plan.count("Exchange hashpartitioning") == 1, plan
 
 
-def test_repaired_only_rejects_skew_routing(spark):
-    zipf = fixtures.spark_corpus(spark, 8, seed=42, zipf_max_turns=60)
-    with pytest.raises(NotImplementedError):
-        pipeline.run_pipeline(
-            spark, zipf, output_dir=None, num_buckets=8,
-            store_page_text="repaired_only", skew_turn_threshold=10,
-        )
+def test_repaired_only_with_skew_routing_matches_default(spark):
+    """Oversized convs reconstruct effective text via the bounded join and
+    route to the distributed assembler; output equals the default mode."""
+    zipf = fixtures.spark_corpus(spark, 8, seed=42, zipf_max_turns=60).cache()
+    routed = pipeline.run_pipeline(
+        spark, zipf, output_dir=None, num_buckets=8,
+        store_page_text="repaired_only", skew_turn_threshold=10,
+    )["docs"]
+    default = pipeline.run_pipeline(
+        spark, zipf, output_dir=None, num_buckets=8,
+        skew_turn_threshold=None,
+    )["docs"]
+    got = {r["conv_id"]: (r["transcription"], r["n_turns"]) for r in routed.collect()}
+    want = {r["conv_id"]: (r["transcription"], r["n_turns"]) for r in default.collect()}
+    assert got == want
