@@ -208,10 +208,10 @@ def write_baseline_md(
             f"| local[{nhigh['cores']}] | {nhigh['sec']} | {nhigh['turns_per_sec']} |\n\n"
             f"**Scaling efficiency** = ({nhigh['turns_per_sec']}/{nlow['turns_per_sec']}) / 4 "
             f"= **{neff:.3f}** ({'PASS' if neff >= 0.8 else 'BELOW'} the >=0.8 criterion).\n\n"
-            "Run-to-run variance on this shared microVM is ±0.03-0.05 even\n"
-            "with best-of-3 (noisy neighbours; see host-ceiling section) —\n"
-            "repeated round-2 measurements: 0.834 (idle host), 0.800 (under\n"
-            "concurrent pytest load).\n\n"
+            "Run-to-run variance on this shared microVM is ±0.05 even with\n"
+            "best-of-3 (noisy neighbours; see host-ceiling section) —\n"
+            "repeated round-2 measurements: 0.834, 0.916 (idle host), 0.800\n"
+            "(under concurrent pytest load); all clear the criterion.\n\n"
             "## Full pipeline (context): including all materialised writes\n\n"
             f"Narrow stage + turns/docs/spans/lineage parquet writes + per-conv\n"
             f"assembly, {flow['n_turns']} turns / {flow['n_docs']} convs.\n\n"
