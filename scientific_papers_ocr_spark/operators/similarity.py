@@ -153,6 +153,83 @@ def ann_topk(
     )
 
 
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+    centroid_vec_col: str = "centroid",
+) -> DataFrame:
+    """IVF cell assignment: nearest centroid per vector (cosine), via a
+    broadcast join against the (small) centroid table + per-row argmin —
+    C rows per vector before the reduce, never a shuffle of the fact side.
+    At ingest this materialises as the ``ivf_cell`` partition column, making
+    probe-time routing partition pruning."""
+    a = df.alias("a")
+    c = centroids.alias("c")
+    av, cv = F.col(f"a.{vec_col}"), F.col(f"c.{centroid_vec_col}")
+    scored = a.join(F.broadcast(c)).select(
+        f"a.{id_col}",
+        F.col(f"c.{centroid_id_col}").alias("cand_cell"),
+        F.round(_dot(av, cv) / (_norm(av) * _norm(cv)), 6).alias("cell_cos"),
+    )
+    return scored.groupBy(id_col).agg(
+        F.max_by(
+            F.col("cand_cell"), F.struct(F.col("cell_cos"), -F.col("cand_cell"))
+        ).alias("ivf_cell")
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    centroids: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-routed approximate top-k: score the query against the centroid
+    table (broadcast), probe the ``n_probe`` nearest cells, exact-score only
+    vectors assigned there.  The alternative scale path to LSH bucketing —
+    same shape as FAISS IVF-Flat: coarse quantizer → inverted lists → exact
+    scan of probed lists."""
+    assigned = ivf_assign(df, centroids, id_col=id_col, vec_col=vec_col)
+    fact = df.join(assigned, on=id_col)
+
+    q = query.select(F.col(query.columns[0]).alias("qvec"))
+    qcells = (
+        F.broadcast(q)
+        .join(F.broadcast(centroids))
+        .select(
+            "qvec",
+            F.col("centroid_id").alias("cell"),
+            F.round(
+                _dot(F.col("qvec"), F.col("centroid"))
+                / (_norm(F.col("qvec")) * _norm(F.col("centroid"))),
+                6,
+            ).alias("qcos"),
+        )
+        .orderBy(F.desc("qcos"), F.col("cell"))
+        .limit(n_probe)
+    )
+    cand = fact.join(
+        F.broadcast(qcells), on=fact["ivf_cell"] == qcells["cell"]
+    )
+    v = F.col(vec_col)
+    return (
+        cand.select(
+            id_col,
+            F.round(_dot(v, F.col("qvec")) / (_norm(v) * _norm(F.col("qvec"))), 4).alias(
+                "cosine"
+            ),
+        )
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )
+
+
 def most_similar_segment(
     df: DataFrame,
     segments_col: str = "segments",

@@ -784,6 +784,60 @@ def q_embedding_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pairwise_cosine_knn(emb, k=3)
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-routed approximate top-k (the non-LSH scale path): the first 8
+    vectors act as the coarse-quantizer centroid table, the query probes its
+    2 nearest cells, exact scoring runs only inside them."""
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid")
+    )
+    query = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    return similarity.ivf_topk(emb, centroids, query, k=10, n_probe=2)
+
+
+_COS6 = (
+    "round(list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+)
+SQL_IVF_TOPK = f"""
+WITH c AS (
+  SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS centroid
+  FROM embeddings WHERE vec_id < 8
+),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+scored AS (
+  SELECT e.vec_id, c.centroid_id,
+         {_COS6.format(a="v", b="centroid")} AS cell_cos
+  FROM e CROSS JOIN c
+),
+assigned AS (
+  SELECT vec_id, centroid_id AS ivf_cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cell_cos DESC, centroid_id) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS qvec FROM embeddings WHERE vec_id = 0),
+qc AS (
+  SELECT centroid_id AS cell
+  FROM c CROSS JOIN q
+  ORDER BY {_COS6.format(a="qvec", b="centroid")} DESC, centroid_id
+  LIMIT 2
+),
+cand AS (
+  SELECT e.vec_id, e.v FROM e
+  JOIN assigned USING (vec_id)
+  JOIN qc ON assigned.ivf_cell = qc.cell
+)
+SELECT vec_id,
+       round(list_dot_product(v, qvec)
+             / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qvec, qvec))), 4) AS cosine
+FROM cand CROSS JOIN q
+ORDER BY cosine DESC, vec_id LIMIT 10
+"""
+
+
 def _knn_pairs_sql(bucket_planes: int = 4, k: int = 3, max_id: int = 200) -> str:
     return f"""
 WITH sub AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {max_id}),
@@ -1468,6 +1522,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "segment_argmax": (q_segment_argmax, SQL_SEGMENT_ARGMAX),
     "citation_parse": (q_citation_parse, SQL_CITATION_PARSE),
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
+    "ivf_topk": (q_ivf_topk, SQL_IVF_TOPK),
     "embedding_knn_pairs": (q_embedding_knn_pairs, SQL_EMBEDDING_KNN_PAIRS),
     "extract_turns": (q_extract_turns, SQL_EXTRACT_TURNS),
     "assemble_docs": (q_assemble_docs, SQL_ASSEMBLE_DOCS),

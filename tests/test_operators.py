@@ -226,6 +226,32 @@ class TestSimilarity:
         ids = [r["vec_id"] for r in got.collect()]
         assert 0 in ids  # the query vector's own row lands in its bucket
 
+    def test_ivf_topk_full_probe_equals_brute_force(self, emb, spark):
+        # probing ALL cells must recover the exact top-k
+        centroids = emb.where(F.col("vec_id") < 4).select(
+            F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid")
+        )
+        query = emb.where(F.col("vec_id") == 0).select(
+            F.col("embedding").alias("qvec")
+        )
+        qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+        exact = [r["vec_id"] for r in
+                 similarity.brute_force_topk(emb, qvec, k=5).collect()]
+        ivf = [r["vec_id"] for r in
+               similarity.ivf_topk(emb, centroids, query, k=5, n_probe=4).collect()]
+        assert ivf == exact
+
+    def test_ivf_topk_probe_contains_query(self, emb, spark):
+        centroids = emb.where(F.col("vec_id") < 4).select(
+            F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid")
+        )
+        query = emb.where(F.col("vec_id") == 0).select(
+            F.col("embedding").alias("qvec")
+        )
+        got = similarity.ivf_topk(emb, centroids, query, k=5, n_probe=1).collect()
+        # the query vector itself lives in its own nearest cell
+        assert got and got[0]["vec_id"] == 0 and got[0]["cosine"] == 1.0
+
     def test_knn_pairs_shape(self, emb):
         got = similarity.pairwise_cosine_knn(emb, k=2, bucket_planes=2).collect()
         assert all(r["rank"] <= 2 for r in got)
