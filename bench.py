@@ -57,6 +57,11 @@ HEADLINE = (
     "embedding_topk",
     "text_profile",
     "extract_turns",
+    # round-2 additions (the first nine stay fixed for cross-round
+    # comparability)
+    "lsh_jaccard",
+    "ivf_topk",
+    "assemble_docs",
 )
 
 

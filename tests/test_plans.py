@@ -117,6 +117,18 @@ def test_paper_narrow_stage_has_no_exchange(spark):
     assert "Exchange" not in _plan(out)
 
 
+def test_no_cartesian_product_in_any_registry_query(spark):
+    """Sweep guard: no registry query may compile to a CartesianProduct —
+    1-row dims must broadcast (BroadcastNestedLoopJoin), everything else
+    joins on keys."""
+    offenders = []
+    for name, (fn, _sql) in Q.REGISTRY.items():
+        plan = _plan(fn(spark, SF))
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert offenders == [], offenders
+
+
 def test_routed_pipeline_fast_path_single_exchange(spark, corpus):
     """run_pipeline with skew routing enabled but no oversized convs must
     still compile the docs side to the single-exchange fast path."""
