@@ -105,3 +105,28 @@ def test_rich_text_roundtrip_plain(words):
     toks = markup.rich_text_tokens(text)
     assert [t["annotation"] for t in toks] == [None] * len(toks)
     assert "".join(t["content"] for t in toks) == text
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet=string.ascii_letters + " ,;-", max_size=80))
+def test_split_keywords_total_and_capitalized(raw):
+    # T16: never crashes, covers the full input (separators removed), every
+    # keyword is capitalize_name-normalized
+    kws = textnorm.split_keywords(raw)
+    assert kws is not None
+    assert len(kws) == len(re.split(r"[,;]", raw))
+    for kw in kws:
+        assert kw == textnorm.capitalize_name(kw.strip())
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet=string.ascii_letters + string.digits + ' .,"[]_-', max_size=160))
+def test_parse_citation_never_crashes(raw):
+    from scientific_papers_ocr_spark.operators.references import parse_citation
+
+    got = parse_citation(raw)
+    assert set(got) == {"title", "authors", "venue", "year"}
+    if got["year"] is not None:
+        assert 1800 <= got["year"] <= 2099
+    if got["authors"] is not None:
+        assert got["authors"] and all(a for a in got["authors"])
