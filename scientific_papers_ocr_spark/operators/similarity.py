@@ -64,29 +64,49 @@ def brute_force_topk(
 
 
 def _plane_weight(p: int, idx: Column) -> Column:
-    """Deterministic pseudo-random weight in [-1, 1) for (plane ``p``,
-    0-based dim index ``idx``): the first 4 md5 nibbles of ``rp:<p>:<idx>``
-    as a 16-bit uint, affinely mapped.  Pure JVM expression."""
-    h = F.md5(F.format_string(f"rp:{p}:%d", idx))
+    """Deterministic pseudo-random weight in [-1, 1) for (plane ``p`` ≤ 7,
+    0-based dim index ``idx``): nibbles ``4p..4p+3`` of ``md5('rp:<idx>')``
+    as a 16-bit uint, affinely mapped.  ONE md5 per element serves all 8
+    planes (Catalyst subexpression-eliminates the shared hash — 6× fewer
+    md5 evaluations than hashing per (plane, index)); bit-identical in
+    DuckDB."""
+    h = F.md5(F.format_string("rp:%d", idx))
     v = F.lit(0)
     for j in range(4):
-        v = v + (F.instr(F.lit(_HEX), F.substring(h, j + 1, 1)) - 1) * (16 ** (3 - j))
+        v = v + (
+            F.instr(F.lit(_HEX), F.substring(h, 4 * p + j + 1, 1)) - 1
+        ) * (16 ** (3 - j))
     return v / F.lit(32767.5) - F.lit(1.0)
 
 
 def bucket_expr(vec: Column, n_planes: int) -> Column:
-    """Signed-random-projection bucket id: ``n_planes`` sign bits packed into
-    an int.  No dimension parameter — weights are generated per element index
-    inside ``transform``, so the expression works for any array length."""
-    def weigh(p: int):
-        return lambda x, i: x.cast("double") * _plane_weight(p, i)
+    """Signed-random-projection bucket id: ``n_planes`` (≤ 8) sign bits
+    packed into an int.  No dimension parameter — weights are generated per
+    element index, so the expression works for any array length.
 
+    All plane dot-products accumulate in ONE ``aggregate`` fold whose update
+    lambda hashes each element once and slices that hash into the per-plane
+    weights — one md5 per element total, not per (plane, element)."""
+    assert n_planes <= 8, "one md5 yields 32 nibbles = 8 plane weights"
+
+    pairs = F.transform(
+        vec, lambda x, i: F.struct(x.cast("double").alias("x"), i.alias("i"))
+    )
+
+    def update(acc: Column, e: Column) -> Column:
+        fields = [
+            (acc[f"d{p}"] + e["x"] * _plane_weight(p, e["i"])).alias(f"d{p}")
+            for p in range(n_planes)
+        ]
+        return F.struct(*fields)
+
+    init = F.struct(*[F.lit(0.0).alias(f"d{p}") for p in range(n_planes)])
+    dots = F.aggregate(pairs, init, update)
     bucket = F.lit(0)
     for p in range(n_planes):
-        dot = F.aggregate(
-            F.transform(vec, weigh(p)), F.lit(0.0), lambda acc, v: acc + v
+        bucket = bucket + F.when(dots[f"d{p}"] >= 0, F.lit(1)).otherwise(F.lit(0)) * (
+            2 ** p
         )
-        bucket = bucket + F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)) * (2 ** p)
     return bucket.cast("int")
 
 

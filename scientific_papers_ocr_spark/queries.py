@@ -734,7 +734,7 @@ def _bucket_sql(n_planes: int, source: str, out: str) -> str:
     dots = []
     for p in range(n_planes):
         nibs = " + ".join(
-            f"(instr('0123456789abcdef', substr(md5('rp:{p}:' || CAST(idx - 1 AS VARCHAR)), {j + 1}, 1)) - 1) * {16 ** (3 - j)}"
+            f"(instr('0123456789abcdef', substr(md5('rp:' || CAST(idx - 1 AS VARCHAR)), {4 * p + j + 1}, 1)) - 1) * {16 ** (3 - j)}"
             for j in range(4)
         )
         dots.append(f"sum(val * (({nibs}) / 32767.5 - 1.0)) AS d{p}")
