@@ -955,6 +955,19 @@ FROM r WHERE rn = 1
 
 _KEYWORDS_RAW = "graph learning; sparse attention, deep-nets"
 
+# Repairable-page constants (doc_id % 5 == 1, non-sentinel): the left column's
+# word stream is meaningful+long and absent from the page text, so its probes
+# score 0 -> status 'incomplete'; the right column is too short to score
+# (exempt).  Column repair then replaces the page with LEFT + ' ' + RIGHT.
+_COL_LEFT = (
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo "
+    "lima mike november oscar papa quebec romeo sierra tango uniform victor "
+    "whiskey xray yankee zulu"
+)
+_COL_RIGHT = "one two three four five six seven eight nine ten eleven twelve"
+_REPAIRED_PAGE1 = f"{_COL_LEFT} {_COL_RIGHT}"
+_BROKEN_PAGE1 = "broken ocr output only fragments remain visible here.\n\n"
+
 
 def documents_as_papers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → transcripts of synthetic 3-turn papers.
@@ -1003,15 +1016,27 @@ def documents_as_papers(spark: SparkSession, sf_dir: str) -> DataFrame:
         sec(2),
         sec(3),
     )
-    page1 = F.when(i % 7 == 0, F.lit("[MISSING_PAGE_EMPTY:1]")).otherwise(
-        F.concat(
-            F.lit("middle page discussion "),
-            F.substring(t, 1, 25),
-            F.lit(".\n\nfurther notes "),
-            F.substring(t, 26, 25),
-            F.lit(".\n\n"),
+    page1 = (
+        F.when(i % 7 == 0, F.lit("[MISSING_PAGE_EMPTY:1]"))
+        .when(i % 5 == 1, F.lit(_BROKEN_PAGE1))
+        .otherwise(
+            F.concat(
+                F.lit("middle page discussion "),
+                F.substring(t, 1, 25),
+                F.lit(".\n\nfurther notes "),
+                F.substring(t, 26, 25),
+                F.lit(".\n\n"),
+            )
         )
     )
+    # 2-column layout channel for the repairable page: a level-1 page block
+    # plus HALF_LEFT / HALF_RIGHT level-2 word streams
+    repair_tool = (
+        '[{"level": 1, "block_num": 0, "x": 0, "y": 0, "w": 1000, "h": 800, "text": ""},'
+        f' {{"level": 2, "block_num": 1, "x": 10, "y": 10, "w": 400, "h": 700, "text": "{_COL_LEFT}"}},'
+        f' {{"level": 2, "block_num": 2, "x": 550, "y": 10, "w": 400, "h": 700, "text": "{_COL_RIGHT}"}}]'
+    )
+    tool1 = F.when((i % 7 != 0) & (i % 5 == 1), F.lit(repair_tool)).otherwise(F.lit(""))
     page2 = F.concat(
         F.lit("closing remarks follow here.\n\n"),
         body2,
@@ -1054,7 +1079,7 @@ def documents_as_papers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(
                 F.array(
                     turn(0, page0, meta_tool),
-                    turn(1, page1, F.lit("")),
+                    turn(1, page1, tool1),
                     turn(2, page2, layout_tool),
                 )
             ).alias("r"),
@@ -1073,7 +1098,7 @@ def documents_as_papers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # DuckDB twin of the page construction above (used by the block-stream
 # oracle, which needs the literal page texts; the other oracles use the
 # closed-form count/status formulas).
-_PAPER_PAGES_SQL = """
+_PAPER_PAGES_SQL = f"""
 src AS (
   SELECT doc_id, text,
          substr(text, 1, 40) AS s0,
@@ -1092,8 +1117,11 @@ pages AS (
          AS text
   FROM src
   UNION ALL
+  -- EFFECTIVE page-1 text: the repairable page (doc_id % 5 = 1) is already
+  -- replaced by its column-repair output LEFT || ' ' || RIGHT
   SELECT doc_id, 1,
          CASE WHEN doc_id % 7 = 0 THEN '[MISSING_PAGE_EMPTY:1]'
+              WHEN doc_id % 5 = 1 THEN '{_REPAIRED_PAGE1}'
               ELSE 'middle page discussion ' || substr(text, 1, 25)
                    || e'.\\n\\nfurther notes ' || substr(text, 26, 25) || e'.\\n\\n'
          END
@@ -1124,10 +1152,12 @@ SQL_EXTRACT_TURNS = """
 SELECT 'paper-' || CAST(doc_id AS VARCHAR) AS conv_id,
        turn_idx,
        CASE WHEN turn_idx = 1 AND doc_id % 7 = 0 THEN 'missing_empty'
+            WHEN turn_idx = 1 AND doc_id % 5 = 1 THEN 'incomplete'
             WHEN turn_idx = 2 AND doc_id % 2 = 0 THEN 'complete'
             ELSE 'unverified' END AS status,
        CASE WHEN turn_idx = 0 THEN 3 + 2 * ((doc_id % 3) + 1)
-            WHEN turn_idx = 1 THEN CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 2 END
+            WHEN turn_idx = 1 THEN CASE WHEN doc_id % 7 = 0 OR doc_id % 5 = 1
+                                        THEN 1 ELSE 2 END
             ELSE 3 + ((doc_id % 4) + 1) END AS n_blocks
 FROM documents CROSS JOIN (VALUES (0), (1), (2)) AS turns(turn_idx)
 """
@@ -1205,6 +1235,7 @@ WITH src AS (
          substr(text, 21, 30) AS b2,
          substr(text, 31, 30) AS b3,
          CASE WHEN doc_id % 7 = 0 THEN '[MISSING_PAGE_EMPTY:1]'
+              WHEN doc_id % 5 = 1 THEN '{_REPAIRED_PAGE1}'
               ELSE 'middle page discussion ' || substr(text, 1, 25)
                    || e'.\\n\\nfurther notes ' || substr(text, 26, 25) || e'.\\n\\n'
          END AS page1
