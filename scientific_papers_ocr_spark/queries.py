@@ -1265,6 +1265,69 @@ FROM built
 SQL_TRANSCRIPTION_FULL = _transcription_sql()
 
 
+def q_paper_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The spans table with exact segmentation COORDINATES: every span's
+    (turn_idx, character position) is predicted by the oracle from the
+    page-construction arithmetic — heading offsets, abstract-end clamps, the
+    cross-page last-section end at the references heading line."""
+    tr = documents_as_papers(spark, sf_dir)
+    out = pipeline.run_pipeline(spark, tr, output_dir=None, num_buckets=16)
+    return out["spans"].select(
+        "conv_id", "span_idx", "span_type", "start_turn", "start_pos",
+        "end_turn", "end_pos", "title", "number",
+    )
+
+
+# position arithmetic (0-based offsets into the constructed pages):
+#   page0 prefix '# Paper {id}\n\n## Abstract\n\nA ' = 25 + len(id) chars;
+#   abstract body 'A ' + s0 ends at 65+len(id); section j's leading '\n' is
+#   P_1 = 67+len(id), P_{j+1} = P_j + 26 + blen_j (sec block = '\n## Topic
+#   Alpha j\n\n' 19 + body blen_j + ' end.' 5 + '\n\n' 2); the last section
+#   ends at (turn 2, heading_pos = 30 + len(body2) + 2).
+SQL_PAPER_SPANS = """
+WITH base AS (
+  SELECT doc_id,
+         (doc_id % 3) + 1 AS k,
+         length(CAST(doc_id AS VARCHAR)) AS idlen,
+         greatest(0, least(30, length(text) - 10)) AS blen1,
+         greatest(0, least(30, length(text) - 20)) AS blen2,
+         30 + (4 * length(trim(substr(text, 1, 40))) + 3) + 2 AS hp
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, k, hp,
+         67 + idlen AS p1,
+         67 + idlen + 26 + blen1 AS p2,
+         67 + idlen + 26 + blen1 + 26 + blen2 AS p3
+  FROM base
+),
+sections AS (
+  SELECT doc_id, j,
+         CAST(j + 1 AS INT) AS span_idx,
+         'section' AS span_type,
+         0 AS start_turn,
+         CASE j WHEN 1 THEN p1 WHEN 2 THEN p2 ELSE p3 END AS start_pos,
+         CASE WHEN j < k THEN 0 ELSE 2 END AS end_turn,
+         CASE WHEN j = k THEN hp
+              WHEN j = 1 THEN p2 ELSE p3 END AS end_pos,
+         'Topic Alpha ' || CAST(j AS VARCHAR) AS title,
+         '' AS number
+  FROM pos CROSS JOIN (VALUES (1), (2), (3)) AS js(j)
+  WHERE j <= k
+)
+SELECT 'paper-' || CAST(doc_id AS VARCHAR) AS conv_id,
+       1 AS span_idx, 'abstract' AS span_type,
+       CAST(NULL AS INT) AS start_turn, CAST(NULL AS INT) AS start_pos,
+       CAST(NULL AS INT) AS end_turn, CAST(NULL AS INT) AS end_pos,
+       'Abstract' AS title, CAST(NULL AS VARCHAR) AS number
+FROM documents
+UNION ALL
+SELECT 'paper-' || CAST(doc_id AS VARCHAR), span_idx, span_type,
+       start_turn, start_pos, end_turn, end_pos, title, number
+FROM sections
+"""
+
+
 def q_citation_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference-entry field extraction (T7 + elaborator parse analog):
     IEEE-ish citation strings synthesised from the part table, then title /
@@ -1561,4 +1624,5 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "rich_text_spans": (q_rich_text_spans, SQL_RICH_TEXT_SPANS),
     "edoc_roundtrip": (q_edoc_roundtrip, SQL_EDOC_ROUNDTRIP),
     "transcription_full": (q_transcription_full, SQL_TRANSCRIPTION_FULL),
+    "paper_spans": (q_paper_spans, SQL_PAPER_SPANS),
 }
