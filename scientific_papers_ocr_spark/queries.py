@@ -1328,6 +1328,235 @@ FROM sections
 """
 
 
+def q_edoc_json_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The serialized EDocument artifact itself: the oracle rebuilds the
+    ENTIRE ``json.dumps(indent=4)`` string — section map with exact
+    positions and cross-page texts, metadata (title/authors/creation_date/
+    keywords), abstract and references blocks with every Reference field —
+    so serde layout, field order, null semantics and position arithmetic are
+    all byte-checked."""
+    tr = documents_as_papers(spark, sf_dir)
+    out = pipeline.run_pipeline(spark, tr, output_dir=None, num_buckets=16)
+    return out["docs"].select("conv_id", "edoc_json")
+
+
+def _edoc_json_sql() -> str:
+    def lit(s: str) -> str:
+        esc = s.replace("\\", "\\\\").replace("'", "''").replace("\n", "\\n")
+        return f"e'{esc}'"
+
+    def esc_json(expr: str) -> str:
+        # only newlines need JSON-escaping in the constructed pages
+        return f"replace({expr}, chr(10), e'\\\\n')"
+
+    def num(expr: str) -> str:
+        return f"CAST({expr} AS VARCHAR)"
+
+    # raw (unescaped) section text expressions, mirroring segmentation spans
+    mid = {j: f"b{j} || e' end.\\n\\n'" for j in (1, 2)}
+    last = {
+        j: (
+            f"b{j} || e' end.\\n\\n' || ' ' || page1 || ' ' || "
+            "e'closing remarks follow here.\\n\\n' || body2 || e'\\n\\n'"
+        )
+        for j in (1, 2, 3)
+    }
+
+    def sec(j: int) -> str:
+        start = f"p{j}"
+        end_turn = "0" if j < 3 else "2"
+        if j < 3:
+            end_turn = f"CASE WHEN {j} < k THEN 0 ELSE 2 END"
+            end_pos = f"CASE WHEN {j} = k THEN hp ELSE p{j + 1} END"
+            text = f"CASE WHEN {j} = k THEN {last[j]} ELSE {mid[j]} END"
+        else:
+            end_turn = "2"
+            end_pos = "hp"
+            text = last[3]
+        return " || ".join(
+            [
+                lit(
+                    f'        "{j}": {{\n'
+                    '            "start_position": [\n'
+                    "                0,\n                "
+                ),
+                num(start),
+                lit(
+                    "\n            ],\n"
+                    '            "end_position": [\n                '
+                ),
+                num(end_turn),
+                lit(",\n                "),
+                num(end_pos),
+                lit('\n            ],\n            "text": "'),
+                esc_json(f"({text})"),
+                lit(
+                    f'",\n            "title": "Topic Alpha {j}",\n'
+                    '            "number": ""\n        }'
+                ),
+            ]
+        )
+
+    sections = (
+        f"{sec(1)} || CASE WHEN k >= 2 THEN {lit(',')} || chr(10) || {sec(2)} "
+        f"ELSE '' END || CASE WHEN k >= 3 THEN {lit(',')} || chr(10) || {sec(3)} "
+        "ELSE '' END"
+    )
+
+    one_author = (
+        "[\n            {\n"
+        '                "surname": "alpha",\n'
+        '                "given_name": "alice"\n'
+        "            }\n        ]"
+    )
+    two_authors = (
+        "[\n            {\n"
+        '                "surname": "alpha",\n'
+        '                "given_name": "alice"\n'
+        "            },\n            {\n"
+        '                "surname": "beta",\n'
+        '                "given_name": "bob"\n'
+        "            }\n        ]"
+    )
+    keywords_block = (
+        "[\n"
+        '            "Graph Learning",\n'
+        '            "Sparse Attention",\n'
+        '            "Deep-Nets"\n'
+        "        ]"
+    )
+    title_expr = (
+        "CASE WHEN doc_id % 3 = 0 THEN 'null' "
+        "ELSE '\"Paper ' || CAST(doc_id AS VARCHAR) || '\"' END"
+    )
+    authors_expr = (
+        f"CASE WHEN doc_id % 3 = 0 THEN 'null' "
+        f"WHEN doc_id % 2 = 0 THEN {lit(one_author)} ELSE {lit(two_authors)} END"
+    )
+    creation_expr = (
+        "CASE WHEN doc_id % 3 = 0 THEN 'null' "
+        "ELSE CAST(CAST(1600000000 + doc_id AS DOUBLE) AS VARCHAR) END"
+    )
+    keywords_expr = (
+        f"CASE WHEN doc_id % 3 = 0 THEN 'null' ELSE {lit(keywords_block)} END"
+    )
+
+    def ref_entry(n: int) -> str:
+        return lit(
+            f'                "{n}": {{\n'
+            '                    "title": null,\n'
+            '                    "authors": null,\n'
+            '                    "publisher": null,\n'
+            '                    "publication_type": null,\n'
+            '                    "year": null,\n'
+            '                    "date": null,\n'
+            '                    "doi": null,\n'
+            '                    "url": null,\n'
+            '                    "keywords": null,\n'
+            f'                    "raw": "A. Author, Cited work {n}, '
+            f'Journal of Tests, 199{n}.",\n'
+            '                    "reference_complexity_level": 0,\n'
+            f'                    "ref_number": {n}\n'
+            "                }"
+        )
+
+    ref_entries = f"{ref_entry(1)}" + "".join(
+        f" || CASE WHEN r >= {n} THEN {lit(',')} || chr(10) || {ref_entry(n)} "
+        "ELSE '' END"
+        for n in (2, 3, 4)
+    )
+
+    whole = " || ".join(
+        [
+            lit('{\n    "sections": {\n'),
+            f"({sections})",
+            lit('\n    },\n    "metadata": {\n        "title": '),
+            f"({title_expr})",
+            lit(',\n        "authors": '),
+            f"({authors_expr})",
+            lit(',\n        "creation_date": '),
+            f"({creation_expr})",
+            lit(',\n        "pdf_directory": null,\n        "pdf_filename": "'),
+            "('paper-' || CAST(doc_id AS VARCHAR))",
+            lit('",\n        "keywords": '),
+            f"({keywords_expr})",
+            lit(
+                ',\n        "abstract": {\n'
+                '            "start_position": [\n'
+                "                0,\n                "
+            ),
+            num("23 + idlen"),
+            lit(
+                "\n            ],\n"
+                '            "end_position": [\n'
+                "                0,\n                "
+            ),
+            num("65 + idlen"),
+            lit('\n            ],\n            "text": "A '),
+            "s0",
+            lit(
+                '",\n            "title": "## Abstract",\n'
+                '            "number": null\n        },\n'
+                '        "references": {\n'
+                '            "start_position": [\n'
+                "                2,\n                "
+            ),
+            num("hp + 15"),
+            lit(
+                "\n            ],\n"
+                '            "end_position": null,\n'
+                '            "text": null,\n'
+                '            "title": "## References",\n'
+                '            "number": null,\n'
+                '            "references": {\n'
+            ),
+            f"({ref_entries})",
+            lit(
+                "\n            }\n        },\n"
+                '        "doi": null,\n'
+                '        "publisher": null,\n'
+                '        "publication_type": null,\n'
+                '        "url": null\n    }\n}'
+            ),
+        ]
+    )
+
+    return f"""
+WITH src AS (
+  SELECT doc_id,
+         (doc_id % 3) + 1 AS k,
+         (doc_id % 4) + 1 AS r,
+         length(CAST(doc_id AS VARCHAR)) AS idlen,
+         substr(text, 1, 40) AS s0,
+         substr(text, 11, 30) AS b1,
+         substr(text, 21, 30) AS b2,
+         substr(text, 31, 30) AS b3,
+         concat_ws(' ', trim(substr(text, 1, 40)), trim(substr(text, 1, 40)),
+                   trim(substr(text, 1, 40)), trim(substr(text, 1, 40))) AS body2,
+         CASE WHEN doc_id % 7 = 0 THEN '[MISSING_PAGE_EMPTY:1]'
+              WHEN doc_id % 5 = 1 THEN '{_REPAIRED_PAGE1}'
+              ELSE 'middle page discussion ' || substr(text, 1, 25)
+                   || e'.\\n\\nfurther notes ' || substr(text, 26, 25) || e'.\\n\\n'
+         END AS page1
+  FROM documents
+),
+pos AS (
+  SELECT *,
+         67 + idlen AS p1,
+         67 + idlen + 26 + length(b1) + 0 AS p2,
+         67 + idlen + 26 + length(b1) + 26 + length(b2) AS p3,
+         30 + length(body2) + 2 AS hp
+  FROM src
+)
+SELECT 'paper-' || CAST(doc_id AS VARCHAR) AS conv_id,
+       {whole} AS edoc_json
+FROM pos
+"""
+
+
+SQL_EDOC_JSON_FULL = _edoc_json_sql()
+
+
 def q_citation_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference-entry field extraction (T7 + elaborator parse analog):
     IEEE-ish citation strings synthesised from the part table, then title /
@@ -1625,4 +1854,5 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "edoc_roundtrip": (q_edoc_roundtrip, SQL_EDOC_ROUNDTRIP),
     "transcription_full": (q_transcription_full, SQL_TRANSCRIPTION_FULL),
     "paper_spans": (q_paper_spans, SQL_PAPER_SPANS),
+    "edoc_json_full": (q_edoc_json_full, SQL_EDOC_JSON_FULL),
 }
