@@ -1272,9 +1272,16 @@ def q_paper_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-page last-section end at the references heading line."""
     tr = documents_as_papers(spark, sf_dir)
     out = pipeline.run_pipeline(spark, tr, output_dir=None, num_buckets=16)
+    # positions coalesce to -1: the driver's hash sorts rows column-wise and
+    # a NULL in a non-unique sort prefix breaks cross-engine row ordering
     return out["spans"].select(
-        "conv_id", "span_idx", "span_type", "start_turn", "start_pos",
-        "end_turn", "end_pos", "title", "number",
+        "conv_id", "span_idx", "span_type",
+        F.coalesce("start_turn", F.lit(-1)).alias("start_turn"),
+        F.coalesce("start_pos", F.lit(-1)).alias("start_pos"),
+        F.coalesce("end_turn", F.lit(-1)).alias("end_turn"),
+        F.coalesce("end_pos", F.lit(-1)).alias("end_pos"),
+        "title",
+        F.coalesce("number", F.lit("")).alias("number"),
     )
 
 
@@ -1317,9 +1324,9 @@ sections AS (
 )
 SELECT 'paper-' || CAST(doc_id AS VARCHAR) AS conv_id,
        1 AS span_idx, 'abstract' AS span_type,
-       CAST(NULL AS INT) AS start_turn, CAST(NULL AS INT) AS start_pos,
-       CAST(NULL AS INT) AS end_turn, CAST(NULL AS INT) AS end_pos,
-       'Abstract' AS title, CAST(NULL AS VARCHAR) AS number
+       -1 AS start_turn, -1 AS start_pos,
+       -1 AS end_turn, -1 AS end_pos,
+       'Abstract' AS title, '' AS number
 FROM documents
 UNION ALL
 SELECT 'paper-' || CAST(doc_id AS VARCHAR), span_idx, span_type,
