@@ -175,6 +175,33 @@ def stream_assemble_conversations(
     )
 
 
+def stream_to_rate_limited_sink(
+    stream_df: DataFrame,
+    transport,
+    checkpoint_path: str,
+    rate_per_sec: float = 3.0,
+    batch_size: int = 10,
+):
+    """Streaming twin of the S13 rate-limited sink: each micro-batch drains
+    through ``sinks.write_rate_limited`` (foreachPartition + token bucket),
+    so an external API sees bounded request rates regardless of micro-batch
+    size; checkpointing gives at-least-once delivery (the reference's Notion
+    uploads are idempotent per page id — dedupe belongs in the transport)."""
+    from .. import sinks
+
+    def handle_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        sinks.write_rate_limited(
+            batch_df, transport, rate_per_sec=rate_per_sec, batch_size=batch_size
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_stream_to_parquet(
     spark: SparkSession,
     source_path: str,

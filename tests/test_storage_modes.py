@@ -59,6 +59,42 @@ def test_repaired_only_single_exchange(spark, corpus):
     assert plan.count("Exchange hashpartitioning") == 1, plan
 
 
+def test_repaired_only_resume_restores_dropped_bucket(spark, corpus, tmp_path_factory):
+    """resume=True under the repaired_only layout: drop one bucket's lineage,
+    rerun, and the docs table must converge to the clean-run output."""
+    import os
+    import shutil
+
+    out = str(tmp_path_factory.mktemp("resume_slim"))
+    clean = pipeline.run_pipeline(
+        spark, corpus, output_dir=out, num_buckets=8,
+        store_page_text="repaired_only",
+    )
+    want = sorted(
+        (r["conv_id"], r["transcription"], r["edoc_json"])
+        for r in clean["docs"].collect()
+    )
+    # simulate a crash: remove one committed bucket's lineage + docs rows
+    lineage = spark.read.parquet(os.path.join(out, "lineage"))
+    victim = lineage.select("bucket").first()["bucket"]
+    kept = lineage.where(F.col("bucket") != victim)
+    tmp_lineage = os.path.join(out, "lineage_tmp")
+    kept.write.mode("overwrite").parquet(tmp_lineage)
+    shutil.rmtree(os.path.join(out, "lineage"))
+    os.rename(tmp_lineage, os.path.join(out, "lineage"))
+
+    resumed = pipeline.run_pipeline(
+        spark, corpus, output_dir=out, num_buckets=8,
+        store_page_text="repaired_only", resume=True,
+    )
+    got = sorted(
+        (r["conv_id"], r["transcription"], r["edoc_json"])
+        for r in resumed["docs"].collect()
+    )
+    assert got == want
+    assert resumed["lineage"].select("bucket").distinct().count() == 8
+
+
 def test_repaired_only_with_skew_routing_matches_default(spark):
     """Oversized convs reconstruct effective text via the bounded join and
     route to the distributed assembler; output equals the default mode."""

@@ -125,3 +125,31 @@ def test_stream_sessionize_runs(spark, corpus_path, tmp_path):
     )
     q.awaitTermination(120)
     assert not q.isActive
+
+
+def test_stream_rate_limited_sink_delivers_all_rows(spark, corpus_path, tmp_path):
+    import glob
+    import json
+    import os
+    import uuid
+
+    out_dir = str(tmp_path / "sent")
+    os.makedirs(out_dir, exist_ok=True)
+
+    def transport(batch):
+        with open(os.path.join(out_dir, f"{uuid.uuid4().hex}.json"), "w") as f:
+            json.dump(batch, f, default=str)
+
+    stream = stream_ext.stream_transcripts(spark, corpus_path).select(
+        "conv_id", "turn_idx"
+    )
+    q = stream_ext.stream_to_rate_limited_sink(
+        stream, transport, str(tmp_path / "ckpt_rl"),
+        rate_per_sec=10_000.0, batch_size=25,
+    )
+    q.awaitTermination(120)
+    sent = [row for p in glob.glob(f"{out_dir}/*.json") for row in json.load(open(p))]
+    want = tsrc.read_transcripts(spark, corpus_path).count()
+    assert len(sent) == want
+    batches = [json.load(open(p)) for p in glob.glob(f"{out_dir}/*.json")]
+    assert all(1 <= len(b) <= 25 for b in batches)
