@@ -50,6 +50,17 @@ def parse_citation(raw: str) -> dict:
       author list, and the title is the first following part that contains no
       author — the reference's "first part not containing any author"
       fallback (:205-212).
+
+    DELIBERATE DEVIATION from elaborator_class.py:205-212: the reference
+    accepts ANY first non-author comma-part as the title — including
+    numbering/venue tails like ``"vol. 3"`` or ``"2019"`` — because it only
+    tests author containment.  This version stops at the first non-name part
+    and additionally suppresses numbering/year tails via ``_NON_TITLE_RE``,
+    returning ``title=None`` where the reference would return a garbage
+    title.  Chosen on purpose: a null title is recoverable downstream (the
+    enrichment join skips it), a wrong title silently poisons enrichment
+    keys.  Not part of any byte-parity oracle (citation_parse's oracle
+    predicts THIS function's output, not the reference's).
     """
     year_m = _YEAR_RE.search(raw.strip())
     year = int(year_m.group(1)) if year_m else None

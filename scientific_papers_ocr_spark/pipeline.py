@@ -62,6 +62,26 @@ def committed_buckets(spark: SparkSession, lineage_path: str) -> DataFrame | Non
         return None
 
 
+def _probe_big_ids(src: DataFrame, threshold: int | None) -> DataFrame | None:
+    """Skew planning statistic: the (tiny, broadcastable) set of conv_ids
+    with at least ``threshold`` rows in ``src``, or None when no conversation
+    crosses it.  Mirrors how AQE re-plans from runtime statistics — but the
+    routing decision changes the PLAN (union with the distributed assembler),
+    so it must be resolved driver-side with one eager column-pruned
+    count-by-key job over ``src``.  Call it on the cheapest table that knows
+    conversation sizes: the committed turns parquet when one exists (a
+    conv_id-only columnar scan), the raw input otherwise."""
+    if not threshold:
+        return None
+    candidates = (
+        src.groupBy("conv_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= threshold)
+        .select("conv_id")
+    )
+    return candidates if candidates.limit(1).count() > 0 else None
+
+
 def _assemble_routed(turns_src: DataFrame, big_ids: DataFrame | None) -> DataFrame:
     """Route conversations to the right assembler: the batched
     whole-conversation path for the common case, the distributed
@@ -99,11 +119,13 @@ def run_pipeline(
 
     ``skew_turn_threshold``: conversations with at least this many turns are
     assembled by the distributed (per-section) path instead of the
-    whole-conversation path.  The decision comes from a cheap column-pruned
-    count over the *input* (conv_id only — no pandas stage), mirroring how
-    AQE re-plans from runtime statistics; when no conversation crosses the
-    threshold the plan is exactly the single-exchange fast path.  None
-    disables routing.
+    whole-conversation path.  The decision mirrors how AQE re-plans from
+    runtime statistics and is costed accordingly: with ``output_dir`` set the
+    probe is a conv_id-only columnar scan of the turns table this job just
+    materialised (statistics are free once the narrow stage has committed);
+    only the fully-lazy no-output path pays a column-pruned count over the
+    raw input.  When no conversation crosses the threshold the plan is
+    exactly the single-exchange fast path.  None disables routing.
 
     ``store_page_text="repaired_only"``: the 100 TB table layout — the turns
     table stores ``page_text`` only where column repair changed it, never a
@@ -127,25 +149,11 @@ def run_pipeline(
             # anti-join on the small committed-bucket set: broadcast it
             df = df.join(F.broadcast(done), on="bucket", how="left_anti")
 
-    big_ids = None
-    if skew_turn_threshold:
-        # cheap planning statistic: column-pruned count over the raw input
-        # (never touches the pandas narrow stage); the oversized-conv set is
-        # tiny by construction (they are the skew tail), so it broadcasts
-        candidates = (
-            df.groupBy("conv_id")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .where(F.col("n") >= skew_turn_threshold)
-            .select("conv_id")
-        )
-        if candidates.limit(1).count() > 0:
-            big_ids = candidates
-
     turns_out = turns.extract_turns(
         df.drop("bucket"), num_buckets=num_buckets, page_text_mode=store_page_text
     )
 
-    def assemble(turns_src: DataFrame) -> DataFrame:
+    def assemble(turns_src: DataFrame, big_ids: DataFrame | None) -> DataFrame:
         if store_page_text == "repaired_only":
             if big_ids is None:
                 return documents.assemble_documents_from_input(df, turns_src)
@@ -174,7 +182,10 @@ def run_pipeline(
         return _assemble_routed(turns_src, big_ids)
 
     if not output_dir:
-        docs_out = assemble(turns_out)
+        # lazy path: nothing is materialised, so conversation sizes can only
+        # come from the raw input — one column-pruned (conv_id-only) count
+        # job that never touches the pandas narrow stage
+        docs_out = assemble(turns_out, _probe_big_ids(df, skew_turn_threshold))
         return {
             "turns": turns_out,
             "docs": docs_out,
@@ -195,8 +206,12 @@ def run_pipeline(
     )
 
     # assemble/lineage ONLY the buckets processed in this run — committed
-    # buckets keep their existing docs/spans partitions and lineage rows
-    docs_out = assemble(fresh_turns)
+    # buckets keep their existing docs/spans partitions and lineage rows.
+    # Skew probe runs HERE, on the just-committed turns parquet: conversation
+    # sizes are a conv_id-only columnar scan of a table this job already
+    # materialised — the raw input is never re-scanned for planning stats
+    # (the r2 pre-narrow probe cost an extra input scan+shuffle per run).
+    docs_out = assemble(fresh_turns, _probe_big_ids(fresh_turns, skew_turn_threshold))
     tsrc.write_partitioned(docs_out, os.path.join(output_dir, "docs"))
     fresh_docs = (
         spark.read.parquet(os.path.join(output_dir, "docs")).join(

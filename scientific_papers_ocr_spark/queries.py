@@ -12,6 +12,7 @@ Conventions that make the oracle comparison byte-stable:
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
@@ -330,7 +331,12 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_SESSIONIZE = """
 WITH g AS (
   SELECT user_id, event_id, ts,
-         CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+         -- date_diff('microsecond', ...) returns BIGINT microseconds in every
+         -- DuckDB release, exactly mirroring Spark's timestampdiff(MICROSECOND).
+         -- epoch(ts) subtraction is version-sensitive (DOUBLE on 1.0, BIGINT
+         -- truncation on older releases) and misclassifies gaps that straddle
+         -- the 1800 s boundary by <1 s (e.g. a 1800.886 s gap).
+         CASE WHEN date_diff('microsecond', lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) > 1800000000
               THEN 1 ELSE 0 END AS is_new_session
   FROM events
 )
@@ -775,6 +781,44 @@ ORDER BY cosine DESC, vec_id LIMIT {k}
 
 
 SQL_ANN_TOPK = _ann_topk_sql(n_planes=6, probe_hamming=1, k=10)
+
+
+_ANN_INGEST_ROOT = "/tmp/spark_graft_ingest"
+
+
+def ann_ingest_path(sf_dir: str, n_planes: int = 6) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "corpus"
+    return os.path.join(_ANN_INGEST_ROOT, tag, f"embeddings_by_lsh{n_planes}")
+
+
+def ensure_ann_ingest(spark: SparkSession, sf_dir: str, n_planes: int = 6) -> str:
+    """Idempotent ingest-time materialisation of the ANN layout for
+    ``sf_dir``: the embeddings table written once, partitioned by
+    ``lsh_bucket`` (committed = ``_SUCCESS`` present).  At 100 TB this is
+    the ingest job; probes afterwards are partition pruning."""
+    path = ann_ingest_path(sf_dir, n_planes)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        similarity.write_bucket_partitioned(
+            _t(spark, sf_dir, "embeddings"), path, n_planes=n_planes
+        )
+    return path
+
+
+def q_ann_topk_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ann_topk`` over the ingest-materialised bucket-partitioned layout:
+    the multi-probe bucket set joins in as a broadcast dim table keyed on
+    the ``lsh_bucket`` PARTITION column, so the scan dynamically prunes to
+    the probed bucket directories instead of re-hashing every row's bucket
+    per probe (plan-asserted in tests/test_plans.py).  Result-identical to
+    ``ann_topk`` — same oracle SQL."""
+    path = ensure_ann_ingest(spark, sf_dir, n_planes=6)
+    bucketed = spark.read.parquet(path)
+    query = (
+        _t(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") == 0)
+        .select(F.col("embedding").alias("qvec"))
+    )
+    return similarity.ann_topk_pruned(bucketed, query, k=10, n_planes=6)
 
 
 def q_embedding_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1852,6 +1896,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "segment_argmax": (q_segment_argmax, SQL_SEGMENT_ARGMAX),
     "citation_parse": (q_citation_parse, SQL_CITATION_PARSE),
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
+    "ann_topk_pruned": (q_ann_topk_pruned, SQL_ANN_TOPK),
     "ivf_topk": (q_ivf_topk, SQL_IVF_TOPK),
     "embedding_knn_pairs": (q_embedding_knn_pairs, SQL_EMBEDDING_KNN_PAIRS),
     "extract_turns": (q_extract_turns, SQL_EXTRACT_TURNS),

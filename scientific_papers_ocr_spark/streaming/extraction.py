@@ -137,8 +137,15 @@ def stream_assemble_conversations(
             text.extend(t if t is not None else "" for t in pdf["text"])
             tool.extend(t if t is not None else "" for t in pdf["tool"])
             if "n_total" in pdf.columns and len(pdf):
-                n_total = int(pdf["n_total"].iloc[0])
-        if n_total is not None and len(turn_idx) >= n_total:
+                # first NON-NULL n_total in the chunk: with the explicit
+                # end-marker-row design most rows carry a null here, and the
+                # marker is not guaranteed to be row 0 of the chunk
+                marked = pdf["n_total"].dropna()
+                if len(marked):
+                    n_total = int(marked.iloc[0])
+        # count DISTINCT turn indices: at-least-once delivery can replay a
+        # turn, and a duplicate must not close the conversation early
+        if n_total is not None and len(set(turn_idx)) >= n_total:
             state.remove()
             yield _finish(conv_id, turn_idx, text, tool, complete=True)
         else:
@@ -146,10 +153,15 @@ def stream_assemble_conversations(
             state.setTimeoutDuration(timeout_ms)
 
     def _finish(conv_id, turn_idx, text, tool, complete):
-        rows = [
-            {"turn_idx": i, "text": t, "tool": o}
-            for i, t, o in zip(turn_idx, text, tool)
-        ]
+        # drop redelivered duplicates (keep the first delivery per turn_idx)
+        # so replayed turns change neither the assembled bytes nor n_turns
+        seen: set[int] = set()
+        rows = []
+        for i, t, o in zip(turn_idx, text, tool):
+            if i in seen:
+                continue
+            seen.add(i)
+            rows.append({"turn_idx": i, "text": t, "tool": o})
         doc = assembly.process_document(rows, conv_id=conv_id)
         seg = doc["segmentation"]
         return pd.DataFrame(

@@ -101,6 +101,33 @@ def test_ann_topk_broadcasts_query_and_takes_ordered(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_ann_topk_pruned_scan_is_partition_pruned(spark):
+    """The ingest-materialised ANN layout must probe via PARTITION PRUNING:
+    the fact scan's PartitionFilters must carry a dynamic-pruning predicate
+    on lsh_bucket (fed by the broadcast probe-bucket dim), and the fact scan
+    must be the bucket-partitioned ingest path, not the raw embeddings
+    table.  This is the 100 TB probe shape similarity.py promises."""
+    df = Q.q_ann_topk_pruned(spark, SF)
+    plan = _plan(df)
+    fact_scans = [
+        ln for ln in plan.split("\n")
+        if "FileScan" in ln and "embeddings_by_lsh" in ln
+    ]
+    assert fact_scans, plan
+    assert any(
+        "dynamicpruning" in ln and "PartitionFilters" in ln for ln in fact_scans
+    ), fact_scans
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_ann_topk_pruned_matches_unpruned(spark):
+    """Partition-pruned probe returns byte-identical results to the
+    recompute-every-bucket ann_topk on the same data."""
+    a = Q.q_ann_topk(spark, SF).collect()
+    b = Q.q_ann_topk_pruned(spark, SF).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
 def test_knn_pairs_join_is_bucketed_not_cartesian(spark):
     df = Q.q_embedding_knn_pairs(spark, SF)
     plan = _plan(df)
