@@ -131,3 +131,96 @@ def enrich_references(refs: DataFrame, raw_col: str = "raw") -> DataFrame:
         # ReferenceExtr.run(); raw-only references stay at low (base.py:69-73)
         F.lit(2).alias("reference_complexity_level"),
     )
+
+
+# enrichment-catalog fields an offline CrossRef snapshot carries, in the
+# order they land on the output (Reference field set, base.py:75-102)
+_CATALOG_FIELDS = ("doi", "url", "publisher", "publication_type", "date")
+
+
+def enrich_references_offline(
+    refs: DataFrame,
+    catalog: DataFrame,
+    title_col: str = "title",
+    year_col: str = "year",
+) -> DataFrame:
+    """Offline CrossRef-style enrichment: fill the null enrichment seam
+    (doi/url/publisher/publication_type/date) from a local catalog snapshot
+    keyed by normalised title + publication year — the network-free analog
+    of ``ElaboratorReference.run`` (elaborator_class.py:83-138,144-174):
+
+    - a ref with a null ``title`` is never enriched (":86-87 — no CrossRef
+      query without a title");
+    - when the ref's ``year`` is known it filters the match exactly (the
+      ``from-pub-date``/``until-pub-date`` filter, :150-153); a null year
+      matches any catalog year (no filter, :154);
+    - titles match on ``lower(trim(...))`` equality (:163-166 — the
+      exact-title scan over the top ``limit=3`` results; CrossRef's fuzzy
+      relevance ranking has no offline analog, so ambiguity among several
+      exact-title rows is broken deterministically by lowest ``doi``);
+    - a matched catalog row with a creation ``date`` overrides the parsed
+      year with that date's year (:115-121).
+
+    Scale shape: the catalog is the SMALL side — it alone is deduplicated
+    (one shuffle of the dim table) and broadcast; the refs fact table is
+    never shuffled.  Year-known and year-null refs take separate broadcast
+    equi-joins (different join keys) and union back.
+    """
+    norm = lambda c: F.lower(F.trim(c))  # noqa: E731
+    cat = catalog.select(
+        norm(F.col("title")).alias("_ct"),
+        F.col("year").alias("_cy"),
+        *[F.col(f).alias(f"_c_{f}") for f in _CATALOG_FIELDS],
+    )
+    pick = F.min_by(
+        F.struct(*[F.col(f"_c_{f}") for f in _CATALOG_FIELDS]), F.col("_c_doi")
+    ).alias("_hit")
+    by_title_year = cat.groupBy("_ct", "_cy").agg(pick)
+    by_title = cat.groupBy("_ct").agg(pick)
+
+    def merge(side: DataFrame) -> DataFrame:
+        out_cols = []
+        for c in refs.columns:
+            if c in _CATALOG_FIELDS:
+                out_cols.append(
+                    F.coalesce(F.col(c), F.col(f"_hit._c_{c}")).alias(c)
+                )
+            elif c == year_col:
+                # creation-date year wins over the parsed year on a match
+                out_cols.append(
+                    F.when(
+                        F.col("_hit._c_date").isNotNull(),
+                        F.year(F.timestamp_seconds(F.col("_hit._c_date"))),
+                    )
+                    .otherwise(F.col(year_col))
+                    .alias(year_col)
+                )
+            else:
+                out_cols.append(F.col(c))
+        return side.select(*out_cols)
+
+    with_year = refs.where(
+        F.col(title_col).isNotNull() & F.col(year_col).isNotNull()
+    ).join(
+        F.broadcast(by_title_year),
+        on=(norm(F.col(title_col)) == F.col("_ct"))
+        & (F.col(year_col) == F.col("_cy")),
+        how="left",
+    )
+    no_year = refs.where(
+        F.col(title_col).isNotNull() & F.col(year_col).isNull()
+    ).join(
+        F.broadcast(by_title),
+        on=norm(F.col(title_col)) == F.col("_ct"),
+        how="left",
+    )
+    no_title = refs.where(F.col(title_col).isNull()).withColumn(
+        "_hit",
+        F.lit(None).cast(
+            "struct<" + ",".join(
+                f"_c_{f}:{'double' if f == 'date' else 'string'}"
+                for f in _CATALOG_FIELDS
+            ) + ">"
+        ),
+    )
+    return merge(with_year).unionByName(merge(no_year)).unionByName(merge(no_title))

@@ -1648,6 +1648,118 @@ FROM w
 """
 
 
+def q_ref_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline CrossRef-style reference enrichment (the elaborator's network
+    seam made testable, elaborator_class.py:83-174): parsed citations join a
+    broadcast catalog snapshot on normalised title (+ exact year when known)
+    and fill doi/url/publisher/publication_type/date; a catalog creation
+    date overrides the parsed year.  Null-title refs stay unenriched,
+    null-year refs match any year — every branch of the reference's match
+    rule is exercised deterministically (mod-7 kills titles, mod-11 kills
+    years, the catalog covers even part keys, dates every third).
+    Unmatched fields surface as '' / -1 sentinels (driver-hash sort
+    stability)."""
+    from .operators import references as refops
+
+    parsed = q_citation_parse(spark, sf_dir)
+    refs = parsed.select(
+        "p_partkey",
+        F.when(F.col("p_partkey") % 7 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("title"))
+        .alias("title"),
+        F.when(F.col("p_partkey") % 11 == 0, F.lit(None).cast("int"))
+        .otherwise(F.col("year"))
+        .alias("year"),
+        F.lit(None).cast("string").alias("doi"),
+        F.lit(None).cast("string").alias("url"),
+        F.lit(None).cast("string").alias("publisher"),
+        F.lit(None).cast("string").alias("publication_type"),
+        F.lit(None).cast("double").alias("date"),
+    )
+    p = _t(spark, sf_dir, "part")
+    catalog = p.where(F.col("p_partkey") % 2 == 0).select(
+        F.upper(F.col("p_name")).alias("title"),
+        ((F.col("p_partkey") % 30) + 1990).cast("int").alias("year"),
+        F.format_string("10.1000/%d", F.col("p_partkey")).alias("doi"),
+        F.format_string("https://doi.org/10.1000/%d", F.col("p_partkey")).alias("url"),
+        F.concat(F.lit("Publisher "), (F.col("p_partkey") % 5).cast("string")).alias(
+            "publisher"
+        ),
+        F.lit("journal-article").alias("publication_type"),
+        F.when(
+            F.col("p_partkey") % 3 == 0,
+            (F.lit(1500000000) + F.col("p_partkey")).cast("double"),
+        ).alias("date"),
+    )
+    out = refops.enrich_references_offline(refs, catalog)
+    return out.select(
+        "p_partkey",
+        F.coalesce("title", F.lit("")).alias("title"),
+        F.coalesce(F.col("year").cast("int"), F.lit(-1)).alias("year"),
+        F.coalesce("doi", F.lit("")).alias("doi"),
+        F.coalesce("url", F.lit("")).alias("url"),
+        F.coalesce("publisher", F.lit("")).alias("publisher"),
+        F.coalesce("publication_type", F.lit("")).alias("publication_type"),
+        F.coalesce("date", F.lit(-1.0)).alias("date"),
+    )
+
+
+SQL_REF_ENRICHMENT = """
+WITH w AS (
+  SELECT p_partkey,
+         printf('[%d] A. Alpha, and B. Beta, "%s," _IEEE Trans. %s_, vol. %d, no. 2, pp. 1-9, %d.',
+                p_partkey, p_name, p_brand, (p_size % 50) + 1, (p_partkey % 30) + 1990) AS raw
+  FROM part
+),
+parsed AS (
+  SELECT p_partkey,
+         CASE WHEN p_partkey % 7 = 0 THEN NULL
+              ELSE regexp_extract(raw, '"(.+?),?"', 1) END AS title,
+         CASE WHEN p_partkey % 11 = 0 THEN NULL
+              ELSE CAST(regexp_extract(raw, '((?:19|20)\\d{2})\\.$', 1) AS INT) END AS year
+  FROM w
+),
+catalog AS (
+  SELECT upper(p_name) AS c_title,
+         CAST((p_partkey % 30) + 1990 AS INT) AS c_year,
+         printf('10.1000/%d', p_partkey) AS doi,
+         printf('https://doi.org/10.1000/%d', p_partkey) AS url,
+         'Publisher ' || CAST(p_partkey % 5 AS VARCHAR) AS publisher,
+         'journal-article' AS publication_type,
+         CASE WHEN p_partkey % 3 = 0 THEN CAST(1500000000 + p_partkey AS DOUBLE) END AS cdate
+  FROM part WHERE p_partkey % 2 = 0
+),
+by_ty AS (
+  SELECT * FROM (
+    SELECT lower(trim(c_title)) AS ct, c_year, doi, url, publisher, publication_type, cdate,
+           row_number() OVER (PARTITION BY lower(trim(c_title)), c_year ORDER BY doi) AS rn
+    FROM catalog) WHERE rn = 1
+),
+by_t AS (
+  SELECT * FROM (
+    SELECT lower(trim(c_title)) AS ct, doi, url, publisher, publication_type, cdate,
+           row_number() OVER (PARTITION BY lower(trim(c_title)) ORDER BY doi) AS rn
+    FROM catalog) WHERE rn = 1
+)
+SELECT p.p_partkey,
+       coalesce(p.title, '') AS title,
+       coalesce(CAST(CASE
+         WHEN p.year IS NOT NULL AND ty.cdate IS NOT NULL THEN year(to_timestamp(ty.cdate))
+         WHEN p.year IS NULL AND t.cdate IS NOT NULL THEN year(to_timestamp(t.cdate))
+         ELSE p.year END AS INT), -1) AS year,
+       coalesce(CASE WHEN p.year IS NOT NULL THEN ty.doi ELSE t.doi END, '') AS doi,
+       coalesce(CASE WHEN p.year IS NOT NULL THEN ty.url ELSE t.url END, '') AS url,
+       coalesce(CASE WHEN p.year IS NOT NULL THEN ty.publisher ELSE t.publisher END, '') AS publisher,
+       coalesce(CASE WHEN p.year IS NOT NULL THEN ty.publication_type ELSE t.publication_type END, '') AS publication_type,
+       coalesce(CASE WHEN p.year IS NOT NULL THEN ty.cdate ELSE t.cdate END, -1.0) AS date
+FROM parsed p
+LEFT JOIN by_ty ty ON p.title IS NOT NULL AND p.year IS NOT NULL
+                   AND lower(trim(p.title)) = ty.ct AND p.year = ty.c_year
+LEFT JOIN by_t t ON p.title IS NOT NULL AND p.year IS NULL
+                 AND lower(trim(p.title)) = t.ct
+"""
+
+
 def q_edoc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S10/S11 EDocument JSON serde round-trip: docs' ``edoc_json`` parsed
     back with an explicit StructType (from_json) and re-projected.  The
@@ -1897,6 +2009,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "citation_parse": (q_citation_parse, SQL_CITATION_PARSE),
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
     "ann_topk_pruned": (q_ann_topk_pruned, SQL_ANN_TOPK),
+    "ref_enrichment": (q_ref_enrichment, SQL_REF_ENRICHMENT),
     "ivf_topk": (q_ivf_topk, SQL_IVF_TOPK),
     "embedding_knn_pairs": (q_embedding_knn_pairs, SQL_EMBEDDING_KNN_PAIRS),
     "extract_turns": (q_extract_turns, SQL_EXTRACT_TURNS),

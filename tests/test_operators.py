@@ -465,3 +465,44 @@ class TestReferences:
         assert rows[1]["year"] == 2001
         assert rows[1]["doi"] is None  # enrichment seam stays null
         assert rows[2]["title"] is None
+
+    def test_enrich_references_offline(self, spark):
+        """Every branch of the elaborator's match rule
+        (elaborator_class.py:83-174): exact title+year match, null year
+        matching any catalog year, null title never enriched, lowest-doi
+        tie-break among ambiguous exact-title rows, and creation-date year
+        override."""
+        from scientific_papers_ocr_spark.operators.references import (
+            enrich_references_offline,
+        )
+
+        null_seam = [None, None, None, None, None]
+        refs = spark.createDataFrame(
+            [
+                (1, "Alpha Paper", 2001, *null_seam),      # exact title+year
+                (2, " alpha paper ", None, *null_seam),    # null year: any year, tie-break
+                (3, None, 2005, *null_seam),               # null title: untouched
+                (4, "Dated Paper", 1999, *null_seam),      # date overrides year
+                (5, "No Such Paper", 2001, *null_seam),    # no catalog row
+            ],
+            "ref_id int, title string, year int, doi string, url string, "
+            "publisher string, publication_type string, date double",
+        )
+        catalog = spark.createDataFrame(
+            [
+                ("ALPHA PAPER", 2001, "10.1/b", "u1", "P1", "journal-article", None),
+                ("Alpha Paper", 2003, "10.1/a", "u2", "P2", "journal-article", None),
+                # 1.6e9 s ≈ 2020-09-13 — mid-year, timezone-safe
+                ("Dated Paper", 1999, "10.1/c", "u3", "P3", "book", 1.6e9),
+            ],
+            "title string, year int, doi string, url string, publisher string, "
+            "publication_type string, date double",
+        )
+        out = {r["ref_id"]: r for r in enrich_references_offline(refs, catalog).collect()}
+        assert out[1]["doi"] == "10.1/b" and out[1]["year"] == 2001
+        assert out[2]["doi"] == "10.1/a"  # lowest doi across both years
+        assert out[3]["doi"] is None and out[3]["year"] == 2005
+        assert out[4]["doi"] == "10.1/c" and out[4]["year"] == 2020
+        assert out[4]["publication_type"] == "book"
+        assert out[5]["doi"] is None and out[5]["publisher"] is None
+        assert len(out) == 5

@@ -128,6 +128,16 @@ def test_ann_topk_pruned_matches_unpruned(spark):
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
 
 
+def test_ref_enrichment_broadcasts_catalog_no_fact_shuffle(spark):
+    """The enrichment catalog is the only side that may shuffle (its dedup
+    aggregation); the refs fact side must reach the join via broadcast hash
+    joins, never a sort-merge join (which would shuffle the fact table)."""
+    df = Q.q_ref_enrichment(spark, SF)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
 def test_knn_pairs_join_is_bucketed_not_cartesian(spark):
     df = Q.q_embedding_knn_pairs(spark, SF)
     plan = _plan(df)
