@@ -61,10 +61,15 @@ def build_session(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # Arrow batch sizing: 8k rows/batch keeps the JVM→Python feed
-        # pipelined for text-heavy rows (measured: starved workers at 2k
-        # batches with coarse input splits; see BENCH notes)
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
+        # Arrow batch sizing: 2k rows/batch.  Finer batches interleave the
+        # JVM's Arrow encode with Python-worker compute instead of
+        # alternating them in coarse bursts — measured on the narrow stage
+        # at local[8]: 22.0s at 2048 vs 26.9s at 8192 (cached input,
+        # r3 A/B), with tighter rep-to-rep variance; the full pipeline is
+        # batch-size-indifferent (18.6s at both).  The r1 "starved workers
+        # at 2k batches" observation was an artifact of coarse input splits,
+        # fixed by the 64m maxPartitionBytes below.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         # pandas-UDF stages want fine-grained input splits so every core has
         # multiple waves in flight (64MB splits ≈ 4 tasks/core on the bench
         # corpus); on a real cluster this is the default parquet split size
