@@ -70,6 +70,7 @@ HEADLINE = (
     # compare against ann_topk, which re-hashes every row's bucket)
     "ann_topk",
     "ann_topk_pruned",
+    "ivf_topk_pruned",
 )
 
 
@@ -235,6 +236,7 @@ def run_headline_queries() -> dict[str, float]:
         "overwrite"
     ).save()
     Q.ensure_ann_ingest(spark, SF_DIR, n_planes=6)
+    Q.ensure_ivf_ingest(spark, SF_DIR)
     for name in HEADLINE:
         fn, _sql = Q.REGISTRY[name]
         t0 = time.time()

@@ -328,6 +328,72 @@ def ivf_topk(
     )
 
 
+def write_ivf_partitioned(
+    df: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Ingest-time materialisation of the IVF layout: assign each vector to
+    its nearest centroid ONCE and write the table partitioned by
+    ``ivf_cell`` — the FAISS inverted-list structure as a table layout.
+    Probes afterwards read only the probed cells' directories (partition
+    pruning) instead of re-running the quantizer over the whole table."""
+    assigned = ivf_assign(df, centroids, id_col=id_col, vec_col=vec_col)
+    fact = df.join(assigned, on=id_col)
+    (
+        fact.repartition("ivf_cell")
+        .write.mode("overwrite")
+        .partitionBy("ivf_cell")
+        .parquet(path)
+    )
+
+
+def ivf_topk_pruned(
+    bucketed: DataFrame,
+    centroids: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``ivf_topk`` over an ``ivf_cell``-PARTITIONED table
+    (``write_ivf_partitioned``): the query's ``n_probe`` nearest cells join
+    in as a broadcast dim keyed on the partition column, so the scan
+    dynamically prunes to the probed cell directories.  Result-identical to
+    ``ivf_topk`` on the same data (parity-tested)."""
+    q = query.select(F.col(query.columns[0]).alias("qvec"))
+    qcells = (
+        F.broadcast(q)
+        .join(F.broadcast(centroids))
+        .select(
+            "qvec",
+            F.col("centroid_id").alias("cell"),
+            F.round(
+                _dot(F.col("qvec"), F.col("centroid"))
+                / (_norm(F.col("qvec")) * _norm(F.col("centroid"))),
+                6,
+            ).alias("qcos"),
+        )
+        .orderBy(F.desc("qcos"), F.col("cell"))
+        .limit(n_probe)
+    )
+    cand = bucketed.join(F.broadcast(qcells), bucketed["ivf_cell"] == qcells["cell"])
+    v = F.col(vec_col)
+    return (
+        cand.select(
+            id_col,
+            F.round(_dot(v, F.col("qvec")) / (_norm(v) * _norm(F.col("qvec"))), 4).alias(
+                "cosine"
+            ),
+        )
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )
+
+
 def most_similar_segment(
     df: DataFrame,
     segments_col: str = "segments",

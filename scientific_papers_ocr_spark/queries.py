@@ -828,6 +828,50 @@ def q_embedding_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pairwise_cosine_knn(emb, k=3)
 
 
+def _ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coarse-quantizer centroid table shared by the IVF queries: the first
+    8 vectors."""
+    return (
+        _t(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") < 8)
+        .select(F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid"))
+    )
+
+
+def ivf_ingest_path(sf_dir: str) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "corpus"
+    return os.path.join(_ANN_INGEST_ROOT, tag, "embeddings_by_ivf8")
+
+
+def ensure_ivf_ingest(spark: SparkSession, sf_dir: str) -> str:
+    """Idempotent IVF ingest: embeddings written once partitioned by
+    ``ivf_cell`` (nearest of the 8 coarse centroids)."""
+    path = ivf_ingest_path(sf_dir)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        similarity.write_ivf_partitioned(
+            _t(spark, sf_dir, "embeddings"), _ivf_centroids(spark, sf_dir), path
+        )
+    return path
+
+
+def q_ivf_topk_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ivf_topk`` over the ingest-materialised ``ivf_cell``-partitioned
+    layout: the probe joins the 2 nearest cells as a broadcast dim on the
+    partition column, so the scan prunes to those cell directories instead
+    of re-running the coarse quantizer over every row (plan-asserted).
+    Result-identical to ``ivf_topk`` — same oracle SQL."""
+    path = ensure_ivf_ingest(spark, sf_dir)
+    bucketed = spark.read.parquet(path)
+    query = (
+        _t(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") == 0)
+        .select(F.col("embedding").alias("qvec"))
+    )
+    return similarity.ivf_topk_pruned(
+        bucketed, _ivf_centroids(spark, sf_dir), query, k=10, n_probe=2
+    )
+
+
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-routed approximate top-k (the non-LSH scale path): the first 8
     vectors act as the coarse-quantizer centroid table, the query probes its
@@ -2010,6 +2054,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
     "ann_topk_pruned": (q_ann_topk_pruned, SQL_ANN_TOPK),
     "ref_enrichment": (q_ref_enrichment, SQL_REF_ENRICHMENT),
+    "ivf_topk_pruned": (q_ivf_topk_pruned, SQL_IVF_TOPK),
     "ivf_topk": (q_ivf_topk, SQL_IVF_TOPK),
     "embedding_knn_pairs": (q_embedding_knn_pairs, SQL_EMBEDDING_KNN_PAIRS),
     "extract_turns": (q_extract_turns, SQL_EXTRACT_TURNS),

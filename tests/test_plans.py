@@ -128,6 +128,28 @@ def test_ann_topk_pruned_matches_unpruned(spark):
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
 
 
+def test_ivf_topk_pruned_scan_is_partition_pruned(spark):
+    """The IVF ingest layout must probe via partition pruning on ivf_cell,
+    exactly like the LSH layout does on lsh_bucket."""
+    df = Q.q_ivf_topk_pruned(spark, SF)
+    plan = _plan(df)
+    fact_scans = [
+        ln for ln in plan.split("\n")
+        if "FileScan" in ln and "embeddings_by_ivf" in ln
+    ]
+    assert fact_scans, plan
+    assert any(
+        "dynamicpruning" in ln and "PartitionFilters" in ln for ln in fact_scans
+    ), fact_scans
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_ivf_topk_pruned_matches_unpruned(spark):
+    a = Q.q_ivf_topk(spark, SF).collect()
+    b = Q.q_ivf_topk_pruned(spark, SF).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
 def test_ref_enrichment_broadcasts_catalog_no_fact_shuffle(spark):
     """The enrichment catalog is the only side that may shuffle (its dedup
     aggregation); the refs fact side must reach the join via broadcast hash

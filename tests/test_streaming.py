@@ -153,3 +153,57 @@ def test_stream_rate_limited_sink_delivers_all_rows(spark, corpus_path, tmp_path
     assert len(sent) == want
     batches = [json.load(open(p)) for p in glob.glob(f"{out_dir}/*.json")]
     assert all(1 <= len(b) <= 25 for b in batches)
+
+
+def test_stateful_assembly_dedupes_redelivered_turns(spark, tmp_path):
+    """At-least-once regression: a replayed (duplicate) turn must neither
+    close a conversation early nor change the assembled bytes — the close
+    condition counts DISTINCT turn indices and assembly drops redeliveries.
+    The end-marker n_total rides on only ONE row per conversation (null
+    elsewhere), exercising the first-non-null chunk scan."""
+    from pyspark.sql import functions as F
+
+    from scientific_papers_ocr_spark.oracle import assembly
+
+    rows = []
+    for c in range(3):
+        cid = f"conv-{c}"
+        for i in range(4):
+            rows.append((cid, i, f"text {c}-{i}\n\nbody paragraph {i}", "",
+                         4 if i == 0 else None))
+        # redelivery: turn 2 arrives twice, byte-identical
+        rows.append((cid, 2, f"text {c}-2\n\nbody paragraph 2", "", None))
+    src = tmp_path / "dup_stream"
+    spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, text string, tool string, n_total int"
+    ).repartition(3).write.parquet(str(src))
+
+    stream = (
+        spark.readStream.schema(
+            "conv_id string, turn_idx int, text string, tool string, n_total int"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    docs = stream_ext.stream_assemble_conversations(stream)
+    q = (
+        docs.writeStream.format("memory")
+        .queryName("dedup_docs")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {r["conv_id"]: r for r in spark.sql("SELECT * FROM dedup_docs").collect()}
+    assert set(got) == {f"conv-{c}" for c in range(3)}
+    for c in range(3):
+        cid = f"conv-{c}"
+        turns = [
+            {"turn_idx": i, "text": f"text {c}-{i}\n\nbody paragraph {i}", "tool": ""}
+            for i in range(4)
+        ]
+        oracle = assembly.process_document(turns, conv_id=cid)
+        assert got[cid]["complete"] is True
+        assert got[cid]["n_turns"] == 4  # the duplicate is not double-counted
+        assert got[cid]["transcription"] == oracle["transcription"]
