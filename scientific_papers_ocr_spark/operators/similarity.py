@@ -195,6 +195,42 @@ def write_bucket_partitioned(
     )
 
 
+def upsert_bucket_partitioned(
+    spark,
+    df_new: DataFrame,
+    path: str,
+    n_planes: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental, idempotent ANN ingest — the Iceberg ``MERGE INTO``
+    analog on the bucket-partitioned layout: bucket the new vectors, and
+    dynamic-partition-overwrite ONLY the buckets they land in with
+    (existing rows minus re-ingested ids) ∪ (new rows).
+
+    Cost is bounded by the touched buckets, never the table: untouched
+    bucket directories are not read or rewritten (dynamic overwrite leaves
+    them in place), and the touched-bucket id set is broadcast.  Re-running
+    the same ingest converges (re-ingested ids are replaced, not
+    duplicated) — the same idempotence contract as the pipeline's
+    lineage-committed bucket writes."""
+    new_b = lsh_bucket(df_new, n_planes=n_planes, vec_col=vec_col)
+    touched = new_b.select("lsh_bucket").distinct()
+    existing = (
+        spark.read.parquet(path)
+        .join(F.broadcast(touched), on="lsh_bucket", how="left_semi")
+        .join(F.broadcast(new_b.select(id_col)), on=id_col, how="left_anti")
+    )
+    merged = existing.unionByName(new_b.select(existing.columns))
+    (
+        merged.repartition("lsh_bucket")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("lsh_bucket")
+        .parquet(path)
+    )
+
+
 def probe_buckets(
     query: DataFrame, n_planes: int, probe_hamming: int = 1
 ) -> DataFrame:
