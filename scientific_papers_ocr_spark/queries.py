@@ -791,16 +791,54 @@ def ann_ingest_path(sf_dir: str, n_planes: int = 6) -> str:
     return os.path.join(_ANN_INGEST_ROOT, tag, f"embeddings_by_lsh{n_planes}")
 
 
+def _source_signature(sf_dir: str, name: str = "embeddings") -> str:
+    """Content signature of a source parquet (file or directory): sizes +
+    mtimes of every data file.  The ingest cache survives across sessions
+    in /tmp, so a committed layout must be invalidated when the SOURCE
+    table is regenerated underneath it (same path, new data) — the
+    table-format analog is the snapshot id an Iceberg MERGE would check."""
+    src = os.path.join(sf_dir, f"{name}.parquet")
+    parts: list[str] = []
+    if os.path.isdir(src):
+        for entry in sorted(os.listdir(src)):
+            st = os.stat(os.path.join(src, entry))
+            parts.append(f"{entry}:{st.st_size}:{st.st_mtime_ns}")
+    elif os.path.exists(src):
+        st = os.stat(src)
+        parts.append(f"{os.path.basename(src)}:{st.st_size}:{st.st_mtime_ns}")
+    return ";".join(parts)
+
+
+def _ingest_committed(path: str, signature: str) -> bool:
+    marker = os.path.join(path, "_INGEST_SOURCE")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        return False
+    try:
+        with open(marker) as f:
+            return f.read() == signature
+    except OSError:
+        return False
+
+
+def _mark_ingest(path: str, signature: str) -> None:
+    with open(os.path.join(path, "_INGEST_SOURCE"), "w") as f:
+        f.write(signature)
+
+
 def ensure_ann_ingest(spark: SparkSession, sf_dir: str, n_planes: int = 6) -> str:
     """Idempotent ingest-time materialisation of the ANN layout for
     ``sf_dir``: the embeddings table written once, partitioned by
-    ``lsh_bucket`` (committed = ``_SUCCESS`` present).  At 100 TB this is
-    the ingest job; probes afterwards are partition pruning."""
+    ``lsh_bucket`` (committed = ``_SUCCESS`` + matching source signature,
+    so a regenerated source table re-ingests instead of serving a stale
+    layout).  At 100 TB this is the ingest job; probes afterwards are
+    partition pruning."""
     path = ann_ingest_path(sf_dir, n_planes)
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+    sig = _source_signature(sf_dir)
+    if not _ingest_committed(path, sig):
         similarity.write_bucket_partitioned(
             _t(spark, sf_dir, "embeddings"), path, n_planes=n_planes
         )
+        _mark_ingest(path, sig)
     return path
 
 
@@ -845,12 +883,15 @@ def ivf_ingest_path(sf_dir: str) -> str:
 
 def ensure_ivf_ingest(spark: SparkSession, sf_dir: str) -> str:
     """Idempotent IVF ingest: embeddings written once partitioned by
-    ``ivf_cell`` (nearest of the 8 coarse centroids)."""
+    ``ivf_cell`` (nearest of the 8 coarse centroids); re-ingests when the
+    source table's signature changes (see ``_source_signature``)."""
     path = ivf_ingest_path(sf_dir)
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+    sig = _source_signature(sf_dir)
+    if not _ingest_committed(path, sig):
         similarity.write_ivf_partitioned(
             _t(spark, sf_dir, "embeddings"), _ivf_centroids(spark, sf_dir), path
         )
+        _mark_ingest(path, sig)
     return path
 
 

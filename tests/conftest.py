@@ -3,6 +3,12 @@ import pytest
 from scientific_papers_ocr_spark.session import build_session
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running end-to-end tests (spark-submit smoke)"
+    )
+
+
 @pytest.fixture(scope="session")
 def spark():
     s = build_session(

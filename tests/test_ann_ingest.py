@@ -68,3 +68,43 @@ def test_upsert_is_idempotent(spark, emb, tmp_path):
     merged = spark.read.parquet(path)
     assert merged.count() == n1
     assert merged.select("vec_id").distinct().count() == n1
+
+
+def test_ensure_ingest_invalidates_on_source_regeneration(
+    spark, emb, tmp_path, monkeypatch
+):
+    """The /tmp ingest cache outlives sessions, so a regenerated source
+    table (same path, new bytes — e.g. the driver rebuilding testdata
+    between rounds) must force a re-ingest; an UNCHANGED source must not
+    (the probe path stays read-only)."""
+    from scientific_papers_ocr_spark import queries as Q
+
+    sf_dir = tmp_path / "sfx"
+    sf_dir.mkdir()
+    emb.write.parquet(str(sf_dir / "embeddings.parquet"))
+    monkeypatch.setattr(Q, "_ANN_INGEST_ROOT", str(tmp_path / "ingest"))
+
+    path = Q.ensure_ann_ingest(spark, str(sf_dir), n_planes=6)
+    n_full = spark.read.parquet(path).count()
+    assert n_full == emb.count()
+    marker = os.path.join(path, "_INGEST_SOURCE")
+    sig1 = open(marker).read()
+
+    # unchanged source: ensure is a no-op (marker content identical,
+    # no rewrite — mtime of the marker is untouched)
+    mtime1 = os.stat(marker).st_mtime_ns
+    assert Q.ensure_ann_ingest(spark, str(sf_dir), n_planes=6) == path
+    assert os.stat(marker).st_mtime_ns == mtime1
+
+    # regenerated source (half the rows): the stale layout must be replaced
+    import shutil
+
+    small = emb.where(F.col("vec_id") % 2 == 0)
+    tmp_src = str(sf_dir / "regen.parquet")
+    small.write.parquet(tmp_src)
+    shutil.rmtree(str(sf_dir / "embeddings.parquet"))
+    os.rename(tmp_src, str(sf_dir / "embeddings.parquet"))
+
+    assert Q.ensure_ann_ingest(spark, str(sf_dir), n_planes=6) == path
+    assert open(marker).read() != sig1
+    assert spark.read.parquet(path).count() == small.count()
