@@ -332,10 +332,66 @@ class TestMultimodal:
         }
         assert got == want
 
-    def test_stubs_raise(self, spark):
-        media = multimodal.synthetic_media(spark, n=2)
-        with pytest.raises(NotImplementedError):
-            multimodal.sample_frames(media, every_ms=100)
+    def test_resize_bilinear_kernel_math(self):
+        """The REAL resample kernel: identity resize is exact, a constant
+        image stays constant at any size, and a horizontal linear ramp
+        stays (near-)linear under upsampling."""
+        import numpy as np
+
+        img = multimodal._fake_decode_pixels(b"seed", 8, 6)
+        assert img.shape == (6, 8, 3)
+        assert np.array_equal(multimodal.resize_bilinear(img, 8, 6), img)
+
+        const = np.full((5, 7, 3), 123, dtype=np.uint8)
+        out = multimodal.resize_bilinear(const, 13, 3)
+        assert out.shape == (3, 13, 3)
+        assert np.all(out == 123)
+
+        ramp = np.tile(
+            np.arange(0, 160, 10, dtype=np.uint8)[None, :, None], (4, 1, 3)
+        )
+        up = multimodal.resize_bilinear(ramp, 32, 4).astype(int)
+        diffs = np.diff(up[0, :, 0])
+        assert np.all(diffs >= 0)  # monotone along the ramp
+        assert up[0, 0, 0] == 0 and up[0, -1, 0] == 150
+
+    def test_resize_images_distributed_matches_local_kernel(self, spark):
+        media = multimodal.synthetic_media(spark, n=10, seed=3)
+        out = {r["media_id"]: r for r in multimodal.resize_images(media, 12, 9).collect()}
+        assert len(out) == 10
+        one = media.where(F.col("media_id") == "m00004").first()
+        img = multimodal._fake_decode_pixels(
+            bytes(one["payload"]), one["meta"]["width"], one["meta"]["height"]
+        )
+        want = multimodal.resize_bilinear(img, 12, 9).tobytes()
+        got = out["m00004"]
+        assert bytes(got["payload"]) == want
+        assert (got["width"], got["height"]) == (12, 9)
+        assert len(bytes(got["payload"])) == 12 * 9 * 3
+
+    def test_sample_frames_arithmetic_and_determinism(self, spark):
+        media = multimodal.synthetic_media(spark, n=12, seed=3)
+        frames = multimodal.sample_frames(media, every_ms=700).collect()
+        # only video rows fan out; frames at t = 0, 700, 1400, ... < duration
+        vids = {
+            r["media_id"]: r["meta"]["duration_ms"]
+            for r in media.where(F.col("meta.kind") == "video").collect()
+        }
+        want_counts = {m: len(range(0, d, 700)) for m, d in vids.items()}
+        got_counts: dict[str, int] = {}
+        for r in frames:
+            got_counts[r["media_id"]] = got_counts.get(r["media_id"], 0) + 1
+        assert got_counts == {m: c for m, c in want_counts.items() if c > 0}
+        by_key = {(r["media_id"], r["frame_idx"]): r for r in frames}
+        for (mid, idx), r in by_key.items():
+            assert r["ts_ms"] == idx * 700
+            assert len(bytes(r["frame"])) == r["width"] * r["height"] * 3
+        # deterministic across runs
+        again = {
+            (r["media_id"], r["frame_idx"]): bytes(r["frame"])
+            for r in multimodal.sample_frames(media, every_ms=700).collect()
+        }
+        assert {k: bytes(v["frame"]) for k, v in by_key.items()} == again
 
 
 class TestReassembly:
