@@ -130,3 +130,28 @@ def test_parse_citation_never_crashes(raw):
         assert 1800 <= got["year"] <= 2099
     if got["authors"] is not None:
         assert got["authors"] and all(a for a in got["authors"])
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=1, max_value=24),
+    st.binary(min_size=0, max_size=32),
+)
+def test_resize_bilinear_bounds_and_shape(w, h, out_w, out_h, payload):
+    """Bilinear resample invariants on arbitrary sizes: output shape is
+    exactly (out_h, out_w, 3); every output pixel lies within the input's
+    [min, max] (convex interpolation never extrapolates); identity resize
+    is exact."""
+    import numpy as np
+
+    from scientific_papers_ocr_spark.operators import multimodal
+
+    img = multimodal._fake_decode_pixels(payload, w, h)
+    out = multimodal.resize_bilinear(img, out_w, out_h)
+    assert out.shape == (out_h, out_w, 3)
+    assert out.dtype == np.uint8
+    assert out.min() >= img.min() and out.max() <= img.max()
+    assert np.array_equal(multimodal.resize_bilinear(img, w, h), img)
