@@ -9,6 +9,8 @@ import pytest
 import __spark_entry__ as entrymod
 
 SF = "/root/testdata/sf0.001"
+import os as _os
+REPO = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
@@ -50,3 +52,39 @@ def test_queries_and_oracles_share_column_names(spark):
         scols = sorted(qs[name](spark, SF).columns)
         dcols = sorted(d[0] for d in con.execute(sql).description)
         assert scols == dcols, f"{name}: {scols} vs {dcols}"
+
+
+@pytest.mark.slow
+def test_all_queries_run_under_bare_ansi_session(tmp_path):
+    """The driver runs queries()/entry() under a BARE Spark 4 session —
+    plain ``SparkSession.builder``, ANSI mode on, none of build_session's
+    configs.  Config-dependent expressions (implicit casts, timezone
+    assumptions, missing package zip on workers) only break THERE, so run
+    the whole registry in a bare-session subprocess (a second in-process
+    session would inherit the fixture session's JVM confs)."""
+    import os
+    import subprocess
+    import sys
+
+    script = tmp_path / "bare.py"
+    script.write_text(
+        "import sys\n"
+        f"sys.path.insert(0, {repr(REPO)})\n"
+        "from pyspark.sql import SparkSession\n"
+        "import __spark_entry__ as E\n"
+        "spark = (SparkSession.builder.master('local[4]')\n"
+        "         .config('spark.ui.enabled', 'false')\n"
+        "         .config('spark.sql.shuffle.partitions', '4')\n"
+        "         .getOrCreate())\n"
+        "for name, fn in E.queries().items():\n"
+        f"    fn(spark, {repr(SF)}).limit(3).collect()\n"
+        "print('BARE_OK', len(E.queries()))\n"
+    )
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)
+    proc = subprocess.run(
+        [sys.executable, str(script)],
+        capture_output=True, text=True, timeout=1200, env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    assert "BARE_OK" in proc.stdout
