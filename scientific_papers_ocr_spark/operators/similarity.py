@@ -16,6 +16,16 @@ the element index), so:
   reproduces buckets bit-for-bit);
 - at 100 TB the bucket id is a materialised partition column and the probe
   filter becomes partition pruning.
+
+Recall characteristics (measured, see tests/test_operators.py planted-
+neighbor tests): ANN recall is DATA-dependent.  On the uniform-random
+fixture embeddings recall@10 approaches the probed fraction of the table
+(LSH 6 planes / Hamming≤1 probes ~11% → recall 0.1–0.6; IVF n_probe=2 of
+8 cells probes ~25% → 0.5–1.0) — on unclustered data no sublinear index
+beats that, by design.  On clustered data (planted near-duplicates, the
+training-data dedup case these operators exist for) both find the planted
+cluster reliably: near-identical vectors agree on projection signs /
+nearest centroid, so they co-bucket with the query.
 """
 
 from __future__ import annotations

@@ -252,6 +252,50 @@ class TestSimilarity:
         # the query vector itself lives in its own nearest cell
         assert got and got[0]["vec_id"] == 0 and got[0]["cosine"] == 1.0
 
+    def test_ann_recall_on_planted_near_duplicates(self, spark):
+        """The recall property that matters for dedup: vectors that ARE
+        near-duplicates of the query (cosine ≈ 1 ≫ background) co-bucket
+        with it under both LSH and IVF routing, so the approximate probes
+        recover the planted cluster.  (On uniform-random data recall is
+        bounded by the probed fraction of the table by design — measured
+        numbers in the module docstring.)"""
+        import numpy as np
+
+        rng = np.random.default_rng(17)
+        dim = 12
+        q = rng.normal(size=dim)
+        rows = [(0, [float(x) for x in q])]
+        for i in range(1, 11):  # planted near-duplicates of q
+            rows.append((i, [float(x) for x in q + 0.05 * rng.normal(size=dim)]))
+        for i in range(11, 251):  # unclustered background
+            rows.append((i, [float(x) for x in rng.normal(size=dim)]))
+        emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        planted = set(range(11))
+
+        brute = {
+            r["vec_id"]
+            for r in similarity.brute_force_topk(emb, rows[0][1], k=11).collect()
+        }
+        assert brute == planted  # ground truth: the cluster IS the top-11
+
+        ann = {
+            r["vec_id"]
+            for r in similarity.ann_topk(emb, rows[0][1], k=11, n_planes=6).collect()
+        }
+        assert len(ann & planted) / 11 >= 0.8
+
+        centroids = emb.where(F.col("vec_id").between(11, 18)).select(
+            F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid")
+        )
+        query = emb.where(F.col("vec_id") == 0).select(
+            F.col("embedding").alias("qvec")
+        )
+        ivf = {
+            r["vec_id"]
+            for r in similarity.ivf_topk(emb, centroids, query, k=11, n_probe=2).collect()
+        }
+        assert len(ivf & planted) / 11 >= 0.8
+
     def test_knn_pairs_shape(self, emb):
         got = similarity.pairwise_cosine_knn(emb, k=2, bucket_planes=2).collect()
         assert all(r["rank"] <= 2 for r in got)
