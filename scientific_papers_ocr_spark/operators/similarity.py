@@ -325,6 +325,74 @@ def ivf_assign(
     )
 
 
+def train_ivf_centroids(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed_ids: list[int] | None = None,
+) -> DataFrame:
+    """Train the IVF coarse quantizer with distributed Lloyd's k-means —
+    the FAISS ``train()`` analog (the registry's fixed first-8-vector
+    centroids are the untrained degenerate case).
+
+    Scale shape per iteration: ONE broadcast-join assignment pass over the
+    fact table (``ivf_assign``'s plan) feeding per-cell (Σ vector, count)
+    partials as D independent ``sum(embedding[d])`` aggregates — every one
+    algebraic, so they combine map-side and the shuffle moves only k×D
+    floats per map partition (a posexploded (cell, dim) key would shuffle
+    E×D rows instead).  The k×D centroid update is a driver-side planning
+    statistic (exactly what Spark MLlib's KMeans collects per iteration),
+    then re-broadcast.  Iterative and non-SQL-expressible — a rows-only
+    surface by design.
+
+    Seeding is deterministic: ``seed_ids`` (default: the k smallest ids) —
+    k-means|| is unnecessary at quantizer scale (k ≤ a few thousand).
+    Empty cells keep their previous centroid (standard Lloyd fix)."""
+    import numpy as np
+
+    spark = df.sparkSession
+    if seed_ids is None:
+        seed = (
+            df.orderBy(id_col).limit(k)
+            .select(id_col, vec_col).collect()
+        )
+    else:
+        seed = (
+            df.where(F.col(id_col).isin(seed_ids))
+            .orderBy(id_col).select(id_col, vec_col).collect()
+        )
+    cents = {i: np.asarray(r[vec_col], dtype=float) for i, r in enumerate(seed)}
+    dim = len(next(iter(cents.values())))
+
+    for _ in range(iters):
+        cdf = spark.createDataFrame(
+            [(int(i), [float(x) for x in v]) for i, v in sorted(cents.items())],
+            ["centroid_id", "centroid"],
+        )
+        assigned = ivf_assign(df, cdf, id_col=id_col, vec_col=vec_col)
+        fact = df.select(id_col, vec_col).join(assigned, on=id_col)
+        # per-cell (Σ vector, n) as D independent sum() aggregates — each is
+        # algebraic, so partials combine map-side and the shuffle carries k
+        # rows of D floats per map partition, never the fact vectors
+        summed = fact.groupBy("ivf_cell").agg(
+            F.array(
+                *[F.sum(F.col(vec_col)[d].cast("double")) for d in range(dim)]
+            ).alias("vec_sum"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        stats = summed.collect()  # k rows × D floats: a planning statistic
+        for r in stats:
+            if r["n"] > 0:
+                cents[r["ivf_cell"]] = np.asarray(r["vec_sum"], dtype=float) / r["n"]
+
+    return spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in sorted(cents.items())],
+        ["centroid_id", "centroid"],
+    )
+
+
 def ivf_topk(
     df: DataFrame,
     centroids: DataFrame,

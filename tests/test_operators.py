@@ -296,6 +296,47 @@ class TestSimilarity:
         }
         assert len(ivf & planted) / 11 >= 0.8
 
+    def test_train_ivf_centroids_recovers_planted_clusters(self, spark):
+        """Distributed Lloyd's k-means (the FAISS train() analog): on data
+        with 3 well-separated planted clusters, the trained quantizer's
+        cells partition the points cluster-pure, and every trained centroid
+        sits close (cosine > 0.99) to a true cluster mean — regardless of
+        the deterministic smallest-id seeding."""
+        import numpy as np
+
+        rng = np.random.default_rng(29)
+        dim = 10
+        means = [rng.normal(size=dim) * 4 for _ in range(3)]
+        rows, truth = [], {}
+        vid = 0
+        for ci, m in enumerate(means):
+            for _ in range(40):
+                rows.append((vid, [float(x) for x in m + 0.3 * rng.normal(size=dim)]))
+                truth[vid] = ci
+                vid += 1
+        emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+        trained = similarity.train_ivf_centroids(emb, k=3, iters=6)
+        cents = {r["centroid_id"]: np.asarray(r["centroid"]) for r in trained.collect()}
+        assert len(cents) == 3
+
+        def cos(a, b):
+            return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+        # every trained centroid aligns with exactly one true mean
+        matched = {
+            cid: max(range(3), key=lambda ci: cos(v, means[ci]))
+            for cid, v in cents.items()
+        }
+        assert sorted(matched.values()) == [0, 1, 2]
+        for cid, ci in matched.items():
+            assert cos(cents[cid], means[ci]) > 0.99
+
+        # assignments are cluster-pure
+        assigned = similarity.ivf_assign(emb, trained).collect()
+        for r in assigned:
+            assert matched[r["ivf_cell"]] == truth[r["vec_id"]], r["vec_id"]
+
     def test_knn_pairs_shape(self, emb):
         got = similarity.pairwise_cosine_knn(emb, k=2, bucket_planes=2).collect()
         assert all(r["rank"] <= 2 for r in got)
