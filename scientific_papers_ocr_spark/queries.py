@@ -783,7 +783,16 @@ ORDER BY cosine DESC, vec_id LIMIT {k}
 SQL_ANN_TOPK = _ann_topk_sql(n_planes=6, probe_hamming=1, k=10)
 
 
-_ANN_INGEST_ROOT = "/tmp/spark_graft_ingest"
+# Ingest-layout cache root: inside the repo's gitignored bench-data dir by
+# default (stays within the working tree), overridable for deployments
+# where the package runs from a read-only location (e.g. a --py-files zip)
+_ANN_INGEST_ROOT = os.environ.get(
+    "SPARK_GRAFT_INGEST_DIR",
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "BENCH", "data", "ingest",
+    ),
+)
 
 
 def ann_ingest_path(sf_dir: str, n_planes: int = 6) -> str:

@@ -73,7 +73,7 @@ def test_upsert_is_idempotent(spark, emb, tmp_path):
 def test_ensure_ingest_invalidates_on_source_regeneration(
     spark, emb, tmp_path, monkeypatch
 ):
-    """The /tmp ingest cache outlives sessions, so a regenerated source
+    """The on-disk ingest cache outlives sessions, so a regenerated source
     table (same path, new bytes — e.g. the driver rebuilding testdata
     between rounds) must force a re-ingest; an UNCHANGED source must not
     (the probe path stays read-only)."""
