@@ -113,18 +113,23 @@ def run_extraction(cores: int, reps: int = 2) -> dict:
     best = None
     n_docs = 0
     for _rep in range(reps):
-        out_dir = os.path.join(os.path.dirname(CORPUS_PATH), f"out_{cores}")
-        shutil.rmtree(out_dir, ignore_errors=True)
-        t0 = time.time()
-        out = pipeline.run_pipeline(spark, df, output_dir=out_dir, num_buckets=64)
-        stats = out["docs"].agg(
-            F.count(F.lit(1)).alias("n_docs"), F.sum("n_turns").alias("n")
-        ).collect()[0]
-        elapsed = time.time() - t0
-        assert stats["n"] == n_turns
-        n_docs = stats["n_docs"]
-        best = elapsed if best is None else min(best, elapsed)
+        try:
+            out_dir = os.path.join(os.path.dirname(CORPUS_PATH), f"out_{cores}")
+            shutil.rmtree(out_dir, ignore_errors=True)
+            t0 = time.time()
+            out = pipeline.run_pipeline(spark, df, output_dir=out_dir, num_buckets=64)
+            stats = out["docs"].agg(
+                F.count(F.lit(1)).alias("n_docs"), F.sum("n_turns").alias("n")
+            ).collect()[0]
+            elapsed = time.time() - t0
+            assert stats["n"] == n_turns
+            n_docs = stats["n_docs"]
+            best = elapsed if best is None else min(best, elapsed)
+        except Exception as e:  # noqa: BLE001
+            print(f"bench: dropped full rep at local[{cores}]: {e}", file=sys.stderr)
     spark.stop()
+    if best is None:
+        raise RuntimeError(f"no surviving full-pipeline reps at local[{cores}]")
     return {
         "cores": cores,
         "n_turns": n_turns,
@@ -164,16 +169,24 @@ def _narrow_visit(cores: int, reps: int) -> tuple[int, list[float]]:
     df.mapInPandas(warm, schema="x long").count()
     times: list[float] = []
     for _rep in range(reps):
-        t0 = time.time()
-        out = turnops.extract_turns(
-            df, num_buckets=64, page_text_mode="repaired_only"
-        )
-        row = out.agg(
-            F.count(F.lit(1)).alias("n"), F.sum(F.length("clean_text")).alias("chars")
-        ).collect()[0]
-        elapsed = time.time() - t0
-        assert row["n"] == n_turns
-        times.append(round(elapsed, 2))
+        # a rep is droppable: one transient Python-worker crash on this
+        # shared microVM (observed ~once per hundreds of runs, survives
+        # the local[N,2] task retry only if the retry also lands on a bad
+        # window) must cost a sample, never the whole artifact
+        try:
+            t0 = time.time()
+            out = turnops.extract_turns(
+                df, num_buckets=64, page_text_mode="repaired_only"
+            )
+            row = out.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.length("clean_text")).alias("chars"),
+            ).collect()[0]
+            elapsed = time.time() - t0
+            assert row["n"] == n_turns
+            times.append(round(elapsed, 2))
+        except Exception as e:  # noqa: BLE001
+            print(f"bench: dropped narrow rep at local[{cores}]: {e}", file=sys.stderr)
     spark.stop()
     return n_turns, times
 
@@ -212,6 +225,15 @@ def run_narrow_scaling_interleaved(
         for cores in order:
             n_turns, times = _narrow_visit(cores, reps)
             samples[cores].extend(times)
+    # a level with zero surviving reps (every rep hit a worker crash) gets
+    # one recovery visit before we give up — the artifact needs ≥1 sample
+    # per level to state an efficiency at all
+    for cores in (n_low, n_high):
+        if not samples[cores]:
+            n_turns, times = _narrow_visit(cores, reps)
+            samples[cores].extend(times)
+        if not samples[cores]:
+            raise RuntimeError(f"no surviving scaling reps at local[{cores}]")
 
     def summarize(cores: int) -> dict:
         best = min(samples[cores])
@@ -387,39 +409,54 @@ def main() -> None:
         # core count) — NOT part of the efficiency pair; kept for
         # cross-round turns/sec comparability (r1/r2 reported local[16])
         peak_n, peak_times = _narrow_visit(16, 2)
+        if not peak_times:  # context metric only: one retry, else omit
+            peak_n, peak_times = _narrow_visit(16, 1)
         peak = {
             "cores": 16,
             "n_turns": peak_n,
             "sec": min(peak_times),
             "turns_per_sec": round(peak_n / min(peak_times), 1),
             "all_reps_sec": peak_times,
-        }
+        } if peak_times else None
         # full pipeline (context metric): ABBA-interleaved visits; the first
         # visit per level runs 2 reps (rep 1 absorbs plan codegen/JIT), the
         # mirrored return visit adds a warm single rep so host drift between
         # the A and B windows can't masquerade as (in)efficiency
-        flow = run_extraction(n_low, reps=2)
-        fhigh = run_extraction(n_low * 4, reps=2)
-        fhigh2 = run_extraction(n_low * 4, reps=1)
-        flow2 = run_extraction(n_low, reps=1)
-        flow = min(flow, flow2, key=lambda d: d["sec"])
-        fhigh = min(fhigh, fhigh2, key=lambda d: d["sec"])
+        def try_extract(cores: int, reps: int) -> dict | None:
+            try:
+                return run_extraction(cores, reps=reps)
+            except Exception as e:  # noqa: BLE001
+                print(f"bench: dropped full visit at local[{cores}]: {e}", file=sys.stderr)
+                return None
+
+        flows = [try_extract(n_low, 2)]
+        fhighs = [try_extract(n_low * 4, 2)]
+        fhighs.append(try_extract(n_low * 4, 1))
+        flows.append(try_extract(n_low, 1))
+        flows = [f for f in flows if f]
+        fhighs = [f for f in fhighs if f]
+        if not flows or not fhighs:
+            raise RuntimeError("no surviving full-pipeline visits at one level")
+        flow = min(flows, key=lambda d: d["sec"])
+        fhigh = min(fhighs, key=lambda d: d["sec"])
         feff = (fhigh["turns_per_sec"] / flow["turns_per_sec"]) / (
             fhigh["cores"] / flow["cores"]
         )
         write_baseline_md(nlow, nhigh, neff, flow, fhigh, feff, peak)
-        result["metric"] = f"extraction_turns_per_sec_local{peak['cores']}"
-        result["value"] = peak["sec"]
-        result["turns_per_sec"] = peak["turns_per_sec"]
+        headline_src = peak or nhigh
+        result["metric"] = f"extraction_turns_per_sec_local{headline_src['cores']}"
+        result["value"] = headline_src["sec"]
+        result["turns_per_sec"] = headline_src["turns_per_sec"]
         result["scaling"] = {
             f"narrow_local{nlow['cores']}": nlow,
             f"narrow_local{nhigh['cores']}": nhigh,
             "efficiency": round(neff, 3),
-            f"peak_local{peak['cores']}": peak,
             f"full_local{flow['cores']}": flow,
             f"full_local{fhigh['cores']}": fhigh,
             "full_efficiency": round(feff, 3),
         }
+        if peak:
+            result["scaling"][f"peak_local{peak['cores']}"] = peak
     queries = run_headline_queries()
     result["queries"] = queries
     if result["value"] is None:

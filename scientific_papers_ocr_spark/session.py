@@ -53,8 +53,13 @@ def build_session(
 ) -> SparkSession:
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or max(cores, 8)
+    # local[N, 2]: allow ONE task retry.  Local mode defaults to
+    # maxFailures=1, so a single transient Python-worker crash (observed
+    # ~once per hundreds of runs on this shared microVM) aborts the whole
+    # job; a cluster would retry the task (default maxFailures=4).  2, not
+    # 4: deterministic failures should still fail fast in tests.
     builder = (
-        SparkSession.builder.master(f"local[{cores}]")
+        SparkSession.builder.master(f"local[{cores}, 2]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
@@ -84,6 +89,8 @@ def build_session(
         # one executor, or GC serializes the workers (measured 74s → 32s on
         # the wide stage going 8g → 48g)
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        # real Python tracebacks when a worker dies mid-Arrow-stream
+        .config("spark.python.worker.faulthandler.enabled", "true")
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
