@@ -108,3 +108,78 @@ def test_ensure_ingest_invalidates_on_source_regeneration(
     assert Q.ensure_ann_ingest(spark, str(sf_dir), n_planes=6) == path
     assert open(marker).read() != sig1
     assert spark.read.parquet(path).count() == small.count()
+
+
+def test_streaming_foreachbatch_upsert_converges_to_batch_layout(
+    spark, emb, tmp_path
+):
+    """Continuous ANN ingest: embeddings arriving as a stream, each
+    micro-batch MERGE-upserted into the bucket-partitioned layout via
+    foreachBatch — after the stream drains, the layout is row-identical to
+    a one-shot batch ingest of the same data, and the pruned probe over it
+    matches the direct ANN answer.  (foreachBatch + idempotent upsert is
+    the structured-streaming exactly-once sink recipe; redelivered batches
+    converge by the upsert's idempotence.)"""
+    src = tmp_path / "emb_stream"
+    src.mkdir()
+    # three micro-batch files (maxFilesPerTrigger=1)
+    for i, pred in enumerate(
+        ("vec_id % 3 = 0", "vec_id % 3 = 1", "vec_id % 3 = 2")
+    ):
+        emb.where(pred).coalesce(1).write.parquet(str(src / f"b{i}.parquet"))
+
+    layout = str(tmp_path / "by_bucket")
+    # seed the layout (dynamic-overwrite upsert needs an existing table;
+    # first micro-batch bootstraps it)
+    bootstrap = {"done": False}
+
+    def sink(batch_df, _bid):
+        if not bootstrap["done"] and not os.path.exists(
+            os.path.join(layout, "_SUCCESS")
+        ):
+            similarity.write_bucket_partitioned(batch_df, layout, n_planes=6)
+            bootstrap["done"] = True
+        else:
+            similarity.upsert_bucket_partitioned(
+                batch_df.sparkSession, batch_df, layout, n_planes=6
+            )
+
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*.parquet")
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    merged = spark.read.parquet(layout)
+    assert merged.count() == emb.count()
+    assert merged.select("vec_id").distinct().count() == emb.count()
+
+    query = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    pruned = similarity.ann_topk_pruned(merged, query, k=10, n_planes=6).collect()
+    direct = similarity.ann_topk(emb, query, k=10, n_planes=6).collect()
+    assert [tuple(r) for r in pruned] == [tuple(r) for r in direct]
+
+
+def test_trained_quantizer_feeds_partitioned_ingest(spark, emb, tmp_path):
+    """The full IVF lifecycle: train the coarse quantizer (Lloyd's), ingest
+    partitioned by its cells, probe with pruning — same answer as the
+    unpartitioned probe over the same trained centroids."""
+    trained = similarity.train_ivf_centroids(emb, k=6, iters=3)
+    path = str(tmp_path / "by_cell")
+    similarity.write_ivf_partitioned(emb, trained, path)
+
+    query = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    bucketed = spark.read.parquet(path)
+    pruned = similarity.ivf_topk_pruned(
+        bucketed, trained, query, k=10, n_probe=2
+    ).collect()
+    direct = similarity.ivf_topk(emb, trained, query, k=10, n_probe=2).collect()
+    assert [tuple(r) for r in pruned] == [tuple(r) for r in direct]
+    assert bucketed.count() == emb.count()
