@@ -262,9 +262,35 @@ def section_texts(
         )
     )
 
-    joined = spans.join(pruned, on="conv_id").where(
-        (F.col("turn_idx") >= F.col("start_turn"))
-        & (F.col("turn_idx") <= F.col("end_turn"))
+    # Binned range join.  A bare conv_id equi-join materialises
+    # sections × pages rows per conversation before the range filter —
+    # quadratic exactly in the mega-conv regime this module exists for
+    # (measured: 3 convs / 21.5k turns / ~7k sections each took 54s; a
+    # 32k-page conv would build ~10^9 rows).  Binning turns it linear:
+    # pages carry their turn-chunk, spans explode to the chunks they
+    # cover (contiguous non-overlapping spans ⇒ ~1 extra span per chunk),
+    # the join keys on (conv_id, chunk), and the original range filter
+    # still runs — the output row set is provably identical (every
+    # in-range pair shares a chunk; a page has exactly one chunk, so no
+    # duplicates).
+    chunk = 1024
+    span_chunks = spans.withColumn(
+        "chunk",
+        F.explode(
+            F.sequence(
+                (F.col("start_turn") / chunk).cast("int"),
+                (F.col("end_turn") / chunk).cast("int"),
+            )
+        ),
+    )
+    pages_chunked = pruned.withColumn("chunk", (F.col("turn_idx") / chunk).cast("int"))
+    joined = (
+        span_chunks.join(pages_chunked, on=["conv_id", "chunk"])
+        .where(
+            (F.col("turn_idx") >= F.col("start_turn"))
+            & (F.col("turn_idx") <= F.col("end_turn"))
+        )
+        .drop("chunk")
     )
     piece = (
         F.when(
@@ -403,15 +429,19 @@ def assemble_documents_distributed(turns_out: DataFrame) -> DataFrame:
     parts = segment_documents_distributed(turns_out)
     sections, boundaries, refs = parts["sections"], parts["boundaries"], parts["references"]
 
+    # ONE conv-level aggregation pass for every per-conv scalar (turn count,
+    # earliest non-null meta, bucket, first-page length) — three separate
+    # scans here each re-ran the whole turns subtree on the lazy path
     conv_info = turns_out.groupBy("conv_id").agg(
         F.count(F.lit(1)).alias("n_turns"),
         F.min_by("meta_json", "turn_idx").alias("meta_json_any"),
         F.min("bucket").alias("bucket"),
-    )
-    meta_per_conv = (
-        turns_out.where(F.col("meta_json").isNotNull())
-        .groupBy("conv_id")
-        .agg(F.min_by("meta_json", "turn_idx").alias("meta_json"))
+        F.min_by(
+            "meta_json", F.when(F.col("meta_json").isNotNull(), F.col("turn_idx"))
+        ).alias("meta_json"),
+        F.max(
+            F.when(F.col("turn_idx") == 0, F.length("page_text"))
+        ).alias("first_len"),
     )
 
     sect_arr = sections.groupBy("conv_id").agg(
@@ -429,8 +459,7 @@ def assemble_documents_distributed(turns_out: DataFrame) -> DataFrame:
     )
 
     base = (
-        conv_info.join(meta_per_conv, on="conv_id", how="left")
-        .join(boundaries, on="conv_id", how="left")
+        conv_info.join(boundaries, on="conv_id", how="left")
         .join(sect_arr, on="conv_id", how="left")
         .join(ref_arr, on="conv_id", how="left")
     )
@@ -443,13 +472,7 @@ def assemble_documents_distributed(turns_out: DataFrame) -> DataFrame:
     fallback_text = docops.reassemble_text_salted(
         turns_out.join(fallback_ids, on="conv_id", how="left_semi")
     )
-    first_page_len = (
-        turns_out.where(F.col("turn_idx") == 0)
-        .select("conv_id", F.length("page_text").alias("first_len"))
-    )
-    base = base.join(fallback_text, on="conv_id", how="left").join(
-        first_page_len, on="conv_id", how="left"
-    )
+    base = base.join(fallback_text, on="conv_id", how="left")
 
     def finish(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..oracle import assembly
@@ -562,9 +585,17 @@ def segment_documents_distributed(turns_out: DataFrame) -> dict[str, DataFrame]:
     unions those in from ``boundaries`` (both null) + plain reassembly.
     """
     pruned = turns_out.select("conv_id", "turn_idx", "page_text")
-    hits = page_hits(pruned)
-    boundaries = elect_boundaries(hits, pruned)
-    heads = section_heads(hits, boundaries, pruned)
+    # hits / boundaries / heads are TINY planning-sized frames (a handful of
+    # rows per conversation, no page payloads) consumed by several downstream
+    # branches each.  Without persisting them, every branch of the final
+    # assembly DAG recomputes the whole upstream subtree — measured 54s for
+    # 3 mega-convs (≈15 redundant scan+shuffle subtrees) vs ~7s persisted.
+    # Payload-bearing frames (pruned pages, section texts) are NOT cached:
+    # at scale they are the skew tail and re-reading the materialised turns
+    # table is the cheaper, memory-safe path.
+    hits = page_hits(pruned).persist()
+    boundaries = elect_boundaries(hits, pruned).persist()
+    heads = section_heads(hits, boundaries, pruned).persist()
     sections = section_texts(heads, boundaries, turns_out)
     refs = references_entries(boundaries, turns_out)
     return {"boundaries": boundaries, "sections": sections, "references": refs}
