@@ -117,3 +117,27 @@ def test_no_whole_conversation_shuffle(spark, turns_out):
     out = dist.segment_documents_distributed(turns_out)
     plan = out["sections"]._jdf.queryExecution().optimizedPlan().toString()
     assert "collect_list" in plan  # ordered concat of section pieces only
+
+
+def test_chunk_boundary_crossing_parity(spark):
+    """The binned range join (chunk = 1024 turns) must stay byte-identical
+    to the whole-conv assembler when section spans CROSS chunk boundaries —
+    a 2600-turn conversation spans chunks 0..2 and its trailing section
+    covers pages in more than one chunk (the explode path the 800-turn
+    fixtures never exercise)."""
+    df = tsrc.corpus_dataframe(spark, num_convs=1, seed=41, turns_per_conv=2600)
+    t = turnops.extract_turns(df, num_buckets=8).cache()
+    try:
+        whole = {r["conv_id"]: r for r in docops.assemble_documents(t).collect()}
+        got = {
+            r["conv_id"]: r
+            for r in dist.assemble_documents_distributed(t).collect()
+        }
+        assert set(got) == set(whole)
+        for cid in whole:
+            w, g = whole[cid].asDict(), got[cid].asDict()
+            for col in w:
+                assert g[col] == w[col], (cid, col)
+        assert next(iter(whole.values()))["n_turns"] == 2600
+    finally:
+        t.unpersist()
