@@ -118,3 +118,71 @@ def test_span_positions_match_oracle(oracle_results, spark_results):
             assert g["title"] == s["title"]
             assert g["number"] == s["number"]
             assert g["text"] == s["text"]
+
+
+def test_unicode_pages_byte_parity(spark):
+    """Real transcripts are not ASCII: CJK headings, emoji, combining
+    accents and RTL text must flow through tokenize → verify → clean →
+    segmentation → EDocument serde with the SAME bytes the single-node
+    oracle produces.  Position arithmetic must agree between Python (str
+    code points), Spark SQL (substr/length count characters), and the
+    Arrow boundary — a byte-offset anywhere breaks section spans."""
+    import datetime
+
+    # headings sit mid-page: the reference's section regex (\n## ...\n\n,
+    # segmentation.py:32) requires a preceding newline, so page-LEADING
+    # headings are invisible -- a quirk both engines must agree on
+    pages = [
+        "# \u00c9tude des syst\u00e8mes \u5206\u6563\u578b\n\nAbstract\n\nR\u00e9sum\u00e9 \U0001f389 de l'\u00e9tude \u2014 "
+        "\u00dcberblick \u00fcber die Systeme, na\u0131ve \u00e9lan.\n\n",
+        "Vorwort intro \u00b6.\n\n## 1. M\u00e9thode \u4e2d\u6587\u65b9\u6cd5\n\nDonn\u00e9es: \u03b1, \u03b2, \u03b3 \u2014 "
+        "\u6570\u636e\u5904\u7406 with mixed \u05e8\u05b4\u05d1\u05bc\u05d5\u05bc\u05e2\u05b7 RTL and e\u0301 combining accents.\n\n"
+        "Second \u00b6 paragraph \U0001f680.\n\n",
+        "Zwischentext.\n\n## 2. Ergebnisse \u7d50\u679c\n\n\u03a3\u03c5\u03bc\u03c0\u03b5\u03c1\u03ac\u03c3\u03bc\u03b1\u03c4\u03b1: \u224842\u2030 of "
+        "cases, na\u00efve vs na\u0131\u0308ve, \ufb01 ligature, \ufb02ow.\n\n",
+        "Schluss.\n\n## References\n\n[1] \u03a9. \u00dc\u00f1\u00ee, and \u00c6. \u00d8re, "
+        "\"\u00cbx\u00e2mple\u2014\u30d1\u30bf\u30fc\u30f3\u8a8d\u8b58,\" _\u00dcn\u00efv\u00e9rsit\u00e9_, 2020.\n",
+    ]
+    rows = [
+        {
+            "conv_id": "conv-uni-0",
+            "turn_idx": i,
+            "role": ("user", "assistant")[i % 2],
+            "text": p,
+            "tool": "",
+            "ts": datetime.datetime(2024, 1, 1, 0, 0, i),
+        }
+        for i, p in enumerate(pages)
+    ]
+    oracle = assembly.process_document(
+        [dict(r) for r in rows], conv_id="conv-uni-0"
+    )
+
+    from scientific_papers_ocr_spark import schemas
+
+    df = spark.createDataFrame(rows, schema=schemas.TRANSCRIPTS)
+    out = pipeline.run_pipeline(spark, df, output_dir=None, num_buckets=4)
+    turns = {r["turn_idx"]: r for r in out["turns"].collect()}
+    assert len(turns) == len(pages)
+    for t in oracle["turns"]:
+        got = turns[t["turn_idx"]]
+        assert got["page_text"] == t["page_text"], t["turn_idx"]
+        assert got["clean_text"] == t["clean_text"], t["turn_idx"]
+        assert got["status"] == t["status"], t["turn_idx"]
+
+    doc = out["docs"].first()
+    assert doc["transcription"] == oracle["transcription"]
+    oracle_json = assembly.json.dumps(
+        assembly.edoc_dict(
+            oracle["segmentation"]["sections"],
+            None, None, None,
+            oracle["segmentation"]["abstract"],
+            oracle["segmentation"]["references"],
+            conv_id="conv-uni-0",
+            keywords=None,
+        ),
+        indent=4,
+    )
+    assert doc["edoc_json"] == oracle_json
+    # the unicode section headings survived segmentation with exact spans
+    assert doc["n_sections"] >= 2
