@@ -186,3 +186,49 @@ def test_unicode_pages_byte_parity(spark):
     assert doc["edoc_json"] == oracle_json
     # the unicode section headings survived segmentation with exact spans
     assert doc["n_sections"] >= 2
+
+
+def test_fuzzed_pages_byte_parity(spark):
+    """Seeded junk-page fuzz: arbitrary character soup (markup fragments,
+    sentinels-adjacent tokens, unicode, unbalanced math delimiters) through
+    the full pipeline must byte-match the oracle — robustness beyond the
+    crafted fixture shapes.  All conversations ride one DataFrame / one
+    pipeline run."""
+    import datetime
+    import random
+
+    alph = list("abc ABC\n#*_`$[](){}.,;:!?\"'\\/-=+0123456789") + [
+        "é", "中", "\U0001f389", "א", "́", "ﬁ",
+        "\n\n", "## ", "[1] ", "Abstract", "References", "$$",
+    ]
+    all_rows, per_conv = [], {}
+    for seed in range(12):
+        rng = random.Random(seed)
+        cid = f"fuzz-{seed}"
+        rows = []
+        for i in range(rng.randint(1, 6)):
+            page = "".join(rng.choice(alph) for _ in range(rng.randint(0, 400)))
+            rows.append(
+                {
+                    "conv_id": cid, "turn_idx": i, "role": "user",
+                    "text": page, "tool": "",
+                    "ts": datetime.datetime(2024, 1, 1, 0, 0, i),
+                }
+            )
+        per_conv[cid] = rows
+        all_rows.extend(rows)
+
+    from scientific_papers_ocr_spark import schemas
+
+    df = spark.createDataFrame(all_rows, schema=schemas.TRANSCRIPTS)
+    out = pipeline.run_pipeline(spark, df, output_dir=None, num_buckets=4)
+    turns = {(r["conv_id"], r["turn_idx"]): r for r in out["turns"].collect()}
+    docs = {r["conv_id"]: r for r in out["docs"].collect()}
+
+    for cid, rows in per_conv.items():
+        oracle = assembly.process_document([dict(r) for r in rows], conv_id=cid)
+        for t in oracle["turns"]:
+            got = turns[(cid, t["turn_idx"])]
+            for col in ("page_text", "clean_text", "status"):
+                assert got[col] == t[col], (cid, t["turn_idx"], col)
+        assert docs[cid]["transcription"] == oracle["transcription"], cid
