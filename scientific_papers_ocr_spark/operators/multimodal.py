@@ -177,6 +177,10 @@ def sample_frames(media: DataFrame, every_ms: int) -> DataFrame:
     frame_idx).  1→N row fan-out inside the Arrow batch, no explode shuffle;
     at scale the frame stream stays partition-local until a later stage
     keys it."""
+    if every_ms <= 0:
+        # fail at plan time with a clear message, not inside the mapInPandas
+        # task as an opaque executor error (range() arg 3 must not be zero)
+        raise ValueError(f"every_ms must be a positive interval, got {every_ms}")
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

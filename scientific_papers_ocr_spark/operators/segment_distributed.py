@@ -574,6 +574,24 @@ def assemble_documents_distributed(turns_out: DataFrame) -> DataFrame:
     return base.mapInPandas(finish, schema=schemas.DOCS_OUT)
 
 
+# Planning frames persisted by segment_documents_distributed, released by
+# release_planning_caches().  Spark's CacheManager holds cached plans until
+# an explicit unpersist or session end, so a long-lived session calling
+# run_pipeline repeatedly would otherwise accumulate cached partitions in
+# executor memory (one hits/boundaries/heads triple per invocation).
+_PLANNING_CACHES: list[DataFrame] = []
+
+
+def release_planning_caches() -> None:
+    """Unpersist every planning frame cached by prior
+    ``segment_documents_distributed`` calls.  Call after the consuming
+    action (e.g. the pipeline's materialising writes) completes; unpersist
+    is safe even if a caller re-executes the returned frames later — they
+    recompute instead of reading cache."""
+    while _PLANNING_CACHES:
+        _PLANNING_CACHES.pop().unpersist(blocking=False)
+
+
 def segment_documents_distributed(turns_out: DataFrame) -> dict[str, DataFrame]:
     """Full distributed segmentation: returns ``boundaries`` (abstract +
     references coordinates per conv), ``sections`` (one row per section) and
@@ -596,6 +614,7 @@ def segment_documents_distributed(turns_out: DataFrame) -> dict[str, DataFrame]:
     hits = page_hits(pruned).persist()
     boundaries = elect_boundaries(hits, pruned).persist()
     heads = section_heads(hits, boundaries, pruned).persist()
+    _PLANNING_CACHES.extend((hits, boundaries, heads))
     sections = section_texts(heads, boundaries, turns_out)
     refs = references_entries(boundaries, turns_out)
     return {"boundaries": boundaries, "sections": sections, "references": refs}

@@ -218,18 +218,33 @@ def upsert_bucket_partitioned(
     dynamic-partition-overwrite ONLY the buckets they land in with
     (existing rows minus re-ingested ids) ∪ (new rows).
 
-    Cost is bounded by the touched buckets, never the table: untouched
-    bucket directories are not read or rewritten (dynamic overwrite leaves
-    them in place), and the touched-bucket id set is broadcast.  Re-running
-    the same ingest converges (re-ingested ids are replaced, not
-    duplicated) — the same idempotence contract as the pipeline's
-    lineage-committed bucket writes."""
+    Rewrite cost is bounded by the touched buckets, never the table:
+    untouched bucket directories are not rewritten (dynamic overwrite
+    leaves them in place), and the touched-bucket id set is broadcast.
+    Re-running the same ingest converges, and update-style merges are
+    handled too: a re-ingested id whose changed embedding moves it to a
+    DIFFERENT bucket has its stale row evicted, because the touched-bucket
+    set includes the buckets currently holding re-ingested ids (located by
+    an id+bucket column-pruned semi-join over the existing table — the
+    two-column scan is the price of MERGE semantics without an id→bucket
+    index; Iceberg MERGE INTO pays the same join).  The same idempotence
+    contract as the pipeline's lineage-committed bucket writes."""
     new_b = lsh_bucket(df_new, n_planes=n_planes, vec_col=vec_col)
-    touched = new_b.select("lsh_bucket").distinct()
+    new_ids = new_b.select(id_col).distinct()
+    # Buckets where re-ingested ids live TODAY — possibly different from the
+    # bucket their new embedding hashes to.  Without this, a bucket-moving
+    # update leaves a stale duplicate vec_id in the old (untouched) partition
+    # that probes can still return.
+    prior_buckets = (
+        spark.read.parquet(path)
+        .join(F.broadcast(new_ids), on=id_col, how="left_semi")
+        .select("lsh_bucket")
+    )
+    touched = new_b.select("lsh_bucket").unionByName(prior_buckets).distinct()
     existing = (
         spark.read.parquet(path)
         .join(F.broadcast(touched), on="lsh_bucket", how="left_semi")
-        .join(F.broadcast(new_b.select(id_col)), on=id_col, how="left_anti")
+        .join(F.broadcast(new_ids), on=id_col, how="left_anti")
     )
     merged = existing.unionByName(new_b.select(existing.columns))
     (

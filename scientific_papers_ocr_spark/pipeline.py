@@ -198,7 +198,15 @@ def run_pipeline(
     # pandas-UDF pass per action.  On resume, dynamic partition overwrite
     # touches only the freshly processed buckets.
     tsrc.write_partitioned(turns_out, os.path.join(output_dir, "turns"))
-    all_turns = spark.read.parquet(os.path.join(output_dir, "turns"))
+    # Explicit schemas on every read-back: a zero-row partitioned write emits
+    # no data files (only _SUCCESS), and schema inference on such a directory
+    # raises UNABLE_TO_INFER_SCHEMA — an empty input must flow through to an
+    # empty output, not crash. The schema is known statically from the frame
+    # we just wrote.
+    out_schema = {"turns": turns_out.schema}
+    all_turns = spark.read.schema(out_schema["turns"]).parquet(
+        os.path.join(output_dir, "turns")
+    )
     fresh_turns = (
         all_turns.join(F.broadcast(done), on="bucket", how="left_anti")
         if done is not None
@@ -212,21 +220,33 @@ def run_pipeline(
     # materialised — the raw input is never re-scanned for planning stats
     # (the r2 pre-narrow probe cost an extra input scan+shuffle per run).
     docs_out = assemble(fresh_turns, _probe_big_ids(fresh_turns, skew_turn_threshold))
+    out_schema["docs"] = docs_out.schema
     tsrc.write_partitioned(docs_out, os.path.join(output_dir, "docs"))
+    all_docs = spark.read.schema(out_schema["docs"]).parquet(
+        os.path.join(output_dir, "docs")
+    )
     fresh_docs = (
-        spark.read.parquet(os.path.join(output_dir, "docs")).join(
-            F.broadcast(done), on="bucket", how="left_anti"
-        )
+        all_docs.join(F.broadcast(done), on="bucket", how="left_anti")
         if done is not None
-        else spark.read.parquet(os.path.join(output_dir, "docs"))
+        else all_docs
     )
-    tsrc.write_partitioned(
-        documents.explode_spans(fresh_docs), os.path.join(output_dir, "spans")
-    )
+    spans_out = documents.explode_spans(fresh_docs)
+    out_schema["spans"] = spans_out.schema
+    tsrc.write_partitioned(spans_out, os.path.join(output_dir, "spans"))
     lineage_path = os.path.join(output_dir, "lineage")
     mode = "append" if (resume and os.path.exists(lineage_path)) else "overwrite"
-    lineage_rows(fresh_turns).write.mode(mode).parquet(lineage_path)
+    lineage_out = lineage_rows(fresh_turns)
+    out_schema["lineage"] = lineage_out.schema
+    lineage_out.write.mode(mode).parquet(lineage_path)
+    # every output is committed; drop the skew-path planning caches so
+    # repeated run_pipeline calls in a long-lived session don't accumulate
+    # cached partitions in executor memory
+    from .operators import segment_distributed as _segdist
+
+    _segdist.release_planning_caches()
     return {
-        name: spark.read.parquet(os.path.join(output_dir, name))
+        name: spark.read.schema(out_schema[name]).parquet(
+            os.path.join(output_dir, name)
+        )
         for name in ("turns", "docs", "spans", "lineage")
     }

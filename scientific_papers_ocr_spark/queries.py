@@ -12,6 +12,7 @@ Conventions that make the oracle comparison byte-stable:
 
 from __future__ import annotations
 
+import hashlib
 import os
 from collections.abc import Callable
 
@@ -341,7 +342,12 @@ WITH g AS (
   FROM events
 )
 SELECT user_id, event_id,
-       sum(is_new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+       -- DuckDB's windowed sum() over INTEGER yields HUGEINT (int128), which
+       -- degrades to float64 via .df() and decimal128(38,0) via Arrow — so a
+       -- driver hashing through pandas/Arrow sees 0.0/Decimal('0') against
+       -- Spark's long 0 even when values are identical. CAST pins int64
+       -- through every fetch path.
+       CAST(sum(is_new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS session_id
 FROM g
 """
 
@@ -726,9 +732,16 @@ ORDER BY cosine DESC, vec_id LIMIT 10
 
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-k (multi-probe).  The query vector is a
-    broadcast single-row dim table — no driver collect; buckets come from
-    portable md5-nibble projections, so DuckDB reproduces them exactly."""
+    """LSH-bucketed approximate top-k (multi-probe), RECOMPUTE shape: every
+    probe re-hashes each row's bucket over a full scan.  Kept as the
+    oracle-contrast twin of ``q_ann_topk_pruned`` — the PRODUCTION shape is
+    ``ann_topk_pruned`` over the ingest-materialised bucket-partitioned
+    layout (result-identical, 3x faster at sf0.1, gap widens with table
+    size).  Do not copy this shape to a scale deployment.
+
+    The query vector is a broadcast single-row dim table — no driver
+    collect; buckets come from portable md5-nibble projections, so DuckDB
+    reproduces them exactly."""
     emb = _t(spark, sf_dir, "embeddings")
     query = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
     return similarity.ann_topk(emb, query, k=10, n_planes=6)
@@ -795,9 +808,19 @@ _ANN_INGEST_ROOT = os.environ.get(
 )
 
 
+def _corpus_tag(sf_dir: str) -> str:
+    """Cache tag for an ingest layout: basename for readability plus a short
+    hash of the ABSOLUTE path, so two corpora whose directories share a name
+    (e.g. /a/sf0.1 and /b/sf0.1) get distinct layouts instead of thrashing
+    full re-ingests through the signature check every time queries alternate
+    between them."""
+    norm = os.path.normpath(os.path.abspath(sf_dir))
+    base = os.path.basename(norm) or "corpus"
+    return f"{base}-{hashlib.md5(norm.encode()).hexdigest()[:8]}"
+
+
 def ann_ingest_path(sf_dir: str, n_planes: int = 6) -> str:
-    tag = os.path.basename(os.path.normpath(sf_dir)) or "corpus"
-    return os.path.join(_ANN_INGEST_ROOT, tag, f"embeddings_by_lsh{n_planes}")
+    return os.path.join(_ANN_INGEST_ROOT, _corpus_tag(sf_dir), f"embeddings_by_lsh{n_planes}")
 
 
 def _source_signature(sf_dir: str, name: str = "embeddings") -> str:
@@ -886,8 +909,7 @@ def _ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ivf_ingest_path(sf_dir: str) -> str:
-    tag = os.path.basename(os.path.normpath(sf_dir)) or "corpus"
-    return os.path.join(_ANN_INGEST_ROOT, tag, "embeddings_by_ivf8")
+    return os.path.join(_ANN_INGEST_ROOT, _corpus_tag(sf_dir), "embeddings_by_ivf8")
 
 
 def ensure_ivf_ingest(spark: SparkSession, sf_dir: str) -> str:

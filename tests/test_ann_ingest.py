@@ -70,6 +70,44 @@ def test_upsert_is_idempotent(spark, emb, tmp_path):
     assert merged.select("vec_id").distinct().count() == n1
 
 
+def test_ingest_path_distinguishes_same_basename_corpora(tmp_path):
+    """Two corpora at different paths with the same directory basename must
+    map to distinct ingest layouts — otherwise alternating queries between
+    them thrashes full re-ingests through the source-signature check."""
+    from scientific_papers_ocr_spark import queries as Q
+
+    a = str(tmp_path / "siteA" / "sf0.1")
+    b = str(tmp_path / "siteB" / "sf0.1")
+    assert Q.ann_ingest_path(a) != Q.ann_ingest_path(b)
+    assert Q.ann_ingest_path(a) == Q.ann_ingest_path(a)  # stable
+    assert Q.ivf_ingest_path(a) != Q.ivf_ingest_path(b)
+
+
+def test_upsert_evicts_stale_row_when_update_moves_bucket(spark, emb, tmp_path):
+    """Update-style merge: re-ingesting an id with a CHANGED embedding that
+    hashes to a different lsh_bucket must evict the stale row from its old
+    partition, not leave a duplicate vec_id that probes can return."""
+    path = str(tmp_path / "by_bucket")
+    similarity.write_bucket_partitioned(emb, path, n_planes=6)
+
+    # pick an id and flip its embedding's sign — guaranteed different bucket
+    # (every sign bit inverts), same vec_id
+    victim = emb.where(F.col("vec_id") == 0)
+    old_bucket = similarity.lsh_bucket(victim, n_planes=6).collect()[0]["lsh_bucket"]
+    moved = victim.withColumn(
+        "embedding", F.transform("embedding", lambda x: -x)
+    )
+    new_bucket = similarity.lsh_bucket(moved, n_planes=6).collect()[0]["lsh_bucket"]
+    assert new_bucket != old_bucket
+
+    similarity.upsert_bucket_partitioned(spark, moved, path, n_planes=6)
+    merged = spark.read.parquet(path)
+    rows = merged.where(F.col("vec_id") == 0).collect()
+    assert len(rows) == 1, "stale duplicate survived the bucket-moving update"
+    assert rows[0]["lsh_bucket"] == new_bucket
+    assert merged.count() == emb.count()
+
+
 def test_ensure_ingest_invalidates_on_source_regeneration(
     spark, emb, tmp_path, monkeypatch
 ):

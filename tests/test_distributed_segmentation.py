@@ -141,3 +141,25 @@ def test_chunk_boundary_crossing_parity(spark):
         assert next(iter(whole.values()))["n_turns"] == 2600
     finally:
         t.unpersist()
+
+
+def test_release_planning_caches_unpersists(spark):
+    """Every segment_documents_distributed call persists three planning
+    frames; release_planning_caches must unpersist ALL of them (across
+    multiple invocations) so long-lived sessions don't accumulate cached
+    partitions in executor memory."""
+    df = tsrc.corpus_dataframe(spark, num_convs=2, seed=7)
+    t = turnops.extract_turns(df, num_buckets=4)
+    before = len(dist._PLANNING_CACHES)
+    out1 = dist.segment_documents_distributed(t)
+    out2 = dist.segment_documents_distributed(t)
+    out1["sections"].count()
+    out2["sections"].count()
+    registered = dist._PLANNING_CACHES[before:]
+    assert len(registered) == 6
+    assert all(f.storageLevel.useMemory for f in registered)
+    dist.release_planning_caches()
+    assert dist._PLANNING_CACHES == []
+    assert not any(f.storageLevel.useMemory for f in registered)
+    # released frames still compute correctly (cache miss -> recompute)
+    assert out1["boundaries"].count() == out2["boundaries"].count()

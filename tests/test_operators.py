@@ -478,6 +478,15 @@ class TestMultimodal:
         }
         assert {k: bytes(v["frame"]) for k, v in by_key.items()} == again
 
+    def test_sample_frames_rejects_nonpositive_interval(self, spark):
+        media = multimodal.synthetic_media(spark, n=2, seed=3)
+        # must fail at plan time with a clear driver-side error, not as an
+        # opaque range() failure inside the mapInPandas task
+        with pytest.raises(ValueError, match="every_ms"):
+            multimodal.sample_frames(media, every_ms=0)
+        with pytest.raises(ValueError, match="every_ms"):
+            multimodal.sample_frames(media, every_ms=-100)
+
 
 class TestReassembly:
     def test_flatten_parts_df_order(self, spark):

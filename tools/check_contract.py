@@ -75,6 +75,24 @@ def main() -> int:
                 print(f"WARN  {name}: zero rows")
             continue
         try:
+            # Type sweep first: DuckDB HUGEINT/UHUGEINT/DECIMAL outputs survive
+            # .fetchall() as Python ints (so this tool alone would pass) but
+            # degrade to float64/decimal128 through the driver's pandas/Arrow
+            # fetch path and hash-mismatch Spark's int64 — the exact failure
+            # that kept `sessionize` red for three rounds.  Fail loudly here so
+            # no new oracle reintroduces the class.
+            bad_types = [
+                (c, t)
+                for c, t, *_ in con.execute(f"DESCRIBE {oracles[name]}").fetchall()
+                if any(x in t.upper() for x in ("HUGEINT", "DECIMAL"))
+            ]
+            if bad_types:
+                print(
+                    f"FAIL  {name}: oracle emits driver-unsafe types "
+                    f"{bad_types} — CAST to BIGINT/DOUBLE in the SQL"
+                )
+                failures += 1
+                continue
             ddf = con.execute(oracles[name])
             dcols = [d[0] for d in ddf.description]
             drows = [tuple(r) for r in ddf.fetchall()]
