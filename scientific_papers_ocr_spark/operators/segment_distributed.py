@@ -4,7 +4,8 @@
 contract as the reference, fine for ordinary documents.  At 10^12-turn scale
 a pathological conversation (10^5+ turns) outgrows an executor; THIS module
 is the scale path: no task ever holds more than (a) one page, (b) one
-section's pages, or (c) one references tail.
+section's pages, or (c) one reference ENTRY's pages (r4: the references
+tail is no longer concatenated anywhere — see ``references_entries``).
 
 Pipeline (all frames carry small records unless noted):
 
@@ -19,7 +20,8 @@ Pipeline (all frames carry small records unless noted):
      larger keys, which feeds roman numbering; reproduced exactly)
   E. section text (bounded shuffle): pages range-joined to their owning
      span, edge-sliced, ordered concat — a task holds ONE section's pages
-  F. references entries (bounded): tail concat + entry regex
+  F. references entries (entry-bounded): per-piece marker/terminator scan →
+     findall replay on planning ints → per-entry range-join reassembly
 
 Exactness: ``re.finditer`` over a clamped slice equals the full-page scan
 filtered to the window whenever the clamps are 0/len(page) — true for all
@@ -30,6 +32,7 @@ fixture corpus in tests/test_distributed_segmentation.py.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Iterator
 
 import pandas as pd
@@ -366,15 +369,45 @@ def section_texts(
     )
 
 
+_REF_MARKER_RE = re.compile(r"\[(\d+)\]")
+# zero-width: finditer enumerates EVERY position where a terminator starts,
+# including overlapping ones ("\n\n\n" terminates at 0 and 1) — exactly the
+# positions the oracle's lazy-body lookahead (?=\n\n|\n\*) can stop at
+_REF_TERM_RE = re.compile(r"(?=\n\n|\n\*)")
+
+
 def references_entries(boundaries: DataFrame, turns_out: DataFrame) -> DataFrame:
-    """Phase F: references tail concat + entry regex →
-    ``(conv_id, ref_number, raw)``; the tail is bounded by the references
-    section, not the document."""
+    """Phase F, entry-bounded: reference entries parsed WITHOUT ever
+    materialising the concatenated references tail.
+
+    The oracle (``oracle/segmentation.py parse_reference_entries``; reference
+    ``elaborate_single_mmd_scientific.py:396-407``) runs
+    ``\\[(\\d+)\\](.*?)(?=\\n\\n|\\n\\*)`` (DOTALL, findall, dict ⇒ last
+    duplicate number wins) over ``" ".join(tail_pieces)``.  The r3 shape
+    reproduced that literally — one ``collect_list`` concat of the whole
+    tail per conversation — which is O(tail) in a single task, and for a
+    references-heavy mega-conversation the tail IS the conversation.
+
+    Key exactness fact making a bounded rewrite possible: pieces are joined
+    with a single space, and neither a ``[n]`` marker (no whitespace chars)
+    nor a terminator (``\\n\\n``/``\\n*``, first char ``\\n``) can span the
+    ``" "`` seam — so both can be located per PIECE in a narrow scan and
+    lifted to global tail coordinates via a prefix-sum of piece lengths.
+    The findall replay then runs over position-only planning rows (marker
+    start/end/number + next terminator at-or-after it, computed with a
+    reverse running-min window; terminators cannot fall inside a marker, so
+    at-or-after marker START equals at-or-after marker END), and each
+    matched entry's text is reassembled with the same exactly-once
+    chunk-binned range join the section path uses.  No task holds more than
+    one page (scan), one conversation's planning ints (replay), or one
+    ENTRY's pieces (assembly) — evidenced under a hard Python-worker memory
+    cap in tests/test_mega_conversation.py.
+    """
     pruned = turns_out.select("conv_id", "turn_idx", "page_text")
     bounds = boundaries.where(F.col("ref_turn").isNotNull())
-    tail = bounds.join(pruned, on="conv_id").where(
-        F.col("turn_idx") >= F.col("ref_turn")
-    )
+    tail = bounds.select("conv_id", "ref_turn", "ref_start").join(
+        pruned, on="conv_id"
+    ).where(F.col("turn_idx") >= F.col("ref_turn"))
     sliced = tail.select(
         "conv_id",
         "turn_idx",
@@ -385,28 +418,158 @@ def references_entries(boundaries: DataFrame, turns_out: DataFrame) -> DataFrame
         .otherwise(F.col("page_text"))
         .alias("piece"),
     )
-    tail_text = sliced.groupBy("conv_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("turn_idx", "piece"))),
-                lambda s: s["piece"],
-            ),
-            " ",
-        ).alias("tail_text")
+
+    # global offset of each piece inside " ".join(pieces): prefix sum of
+    # (len + 1 separator) over preceding pieces
+    woff = Window.partitionBy("conv_id").orderBy("turn_idx").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    pieces = sliced.withColumn("plen", F.length("piece").cast("long")).withColumn(
+        "off",
+        F.coalesce(F.sum(F.col("plen") + 1).over(woff), F.lit(0)).cast("long"),
     )
 
-    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["conv_id", "kind", "num", "start", "end"]
         for pdf in batches:
-            rows = []
-            for conv_id, text in zip(pdf["conv_id"], pdf["tail_text"]):
-                for n, raw in sorted(
-                    segmentation.parse_reference_entries(text or "").items()
-                ):
-                    rows.append((conv_id, n, raw))
-            yield pd.DataFrame(rows, columns=["conv_id", "ref_number", "raw"])
+            rows: list[tuple] = []
+            for conv_id, off, piece in zip(pdf["conv_id"], pdf["off"], pdf["piece"]):
+                base = int(off)
+                text = piece or ""
+                for m in _REF_MARKER_RE.finditer(text):
+                    rows.append(
+                        (conv_id, 0, int(m.group(1)), base + m.start(), base + m.end())
+                    )
+                for m in _REF_TERM_RE.finditer(text):
+                    rows.append((conv_id, 1, None, base + m.start(), None))
+            yield pd.DataFrame(rows, columns=cols)
 
-    return tail_text.mapInPandas(
-        parse, schema="conv_id string, ref_number int, raw string"
+    events = pieces.select("conv_id", "off", "piece").mapInPandas(
+        scan, schema="conv_id string, kind int, num long, start long, end long"
+    )
+
+    # first terminator at-or-after each marker (no terminator starts inside
+    # a marker, so >= start is exactly >= end): running min over the event
+    # stream in DESCENDING position order.  The frame must GROW
+    # (unboundedPreceding..current) — Spark evaluates growing frames
+    # incrementally in O(n), while the equivalent ascending-order
+    # currentRow..unboundedFollowing frame is a shrinking frame that Spark
+    # recomputes from scratch per row, O(n^2) — measured: a 400k-event
+    # conversation never finished.
+    wnext = Window.partitionBy("conv_id").orderBy(F.desc("start")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    markers = (
+        events.withColumn(
+            "next_t",
+            F.min(F.when(F.col("kind") == 1, F.col("start"))).over(wnext),
+        )
+        .where(F.col("kind") == 0)
+        .select("conv_id", "num", "start", "end", "next_t")
+    )
+
+    def replay(pdf: pd.DataFrame) -> pd.DataFrame:
+        """Sequential findall over planning ints: lazy body ends at the first
+        terminator ≥ marker end; scanning resumes AT the terminator (the
+        lookahead is zero-width), so markers inside a matched body are
+        skipped; a marker with no terminator after it ends the scan (later
+        markers cannot have one either); dict ⇒ last duplicate number wins.
+        """
+        if not len(pdf):
+            return pd.DataFrame(columns=["conv_id", "num", "s", "e"])
+        conv_id = pdf["conv_id"].iloc[0]
+        best: dict[int, tuple[int, int]] = {}
+        pos = 0
+        for start, end, num, next_t in sorted(
+            zip(pdf["start"], pdf["end"], pdf["num"], pdf["next_t"])
+        ):
+            if start < pos:
+                continue
+            if pd.isna(next_t):
+                break
+            best[int(num)] = (int(end), int(next_t))
+            pos = int(next_t)
+        return pd.DataFrame(
+            [(conv_id, n, s, e) for n, (s, e) in best.items()],
+            columns=["conv_id", "num", "s", "e"],
+        )
+
+    spans = markers.groupBy("conv_id").applyInPandas(
+        replay, schema="conv_id string, num long, s long, e long"
+    )
+
+    # exactly-once chunk-binned range join (see section_texts): a
+    # (piece, span) pair joins only in the chunk containing
+    # max(piece_off, span_start)
+    chunk = 1 << 16
+    span_chunks = spans.withColumn(
+        "chunk",
+        F.explode(
+            F.sequence(
+                (F.col("s") / chunk).cast("long"), (F.col("e") / chunk).cast("long")
+            )
+        ),
+    )
+    piece_chunks = pieces.select("conv_id", "turn_idx", "piece", "plen", "off").withColumn(
+        "chunk",
+        F.explode(
+            F.sequence(
+                (F.col("off") / chunk).cast("long"),
+                ((F.col("off") + F.col("plen")) / chunk).cast("long"),
+            )
+        ),
+    )
+    joined = (
+        span_chunks.join(piece_chunks, on=["conv_id", "chunk"])
+        # closed-interval touch: a boundary-adjacent piece contributes an
+        # empty string whose array_join separator reproduces the " " seam
+        # char the span covers
+        .where(
+            (F.col("off") <= F.col("e"))
+            & (F.col("off") + F.col("plen") >= F.col("s"))
+            & (
+                F.col("chunk")
+                == (F.greatest(F.col("off"), F.col("s")) / chunk).cast("long")
+            )
+        )
+    )
+    cs = F.greatest(F.col("s") - F.col("off"), F.lit(0))
+    ce = F.least(F.col("e") - F.col("off"), F.col("plen"))
+    grouped = (
+        joined.select(
+            "conv_id",
+            "num",
+            "turn_idx",
+            F.col("piece").substr((cs + 1).cast("int"), (ce - cs).cast("int")).alias(
+                "contrib"
+            ),
+        )
+        .groupBy("conv_id", "num")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("turn_idx", "contrib"))),
+                    lambda x: x["contrib"],
+                ),
+                " ",
+            ).alias("body")
+        )
+    )
+
+    def strip_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Python str.strip() (unicode whitespace), matching the oracle's
+        # body.strip() — Spark trim()/Java \s are ASCII-only
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "conv_id": pdf["conv_id"],
+                    "ref_number": pdf["num"].astype("int64"),
+                    "raw": pdf["body"].map(lambda b: (b or "").strip()),
+                }
+            )
+
+    return grouped.mapInPandas(
+        strip_rows, schema="conv_id string, ref_number int, raw string"
     )
 
 

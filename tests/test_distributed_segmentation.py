@@ -143,6 +143,55 @@ def test_chunk_boundary_crossing_parity(spark):
         t.unpersist()
 
 
+def test_references_entries_randomized_parity_with_oracle(spark):
+    """The entry-bounded references parser must reproduce the oracle's
+    ``parse_reference_entries(" ".join(pieces))`` on adversarial page splits:
+    markers split across the join seam (must NOT match), terminators at page
+    edges ("\\n" + "\\n" across the seam must NOT terminate), overlapping
+    terminators ("\\n\\n\\n"), duplicate numbers (last wins), markers with no
+    terminator after them (entry dropped), empty pages, and bodies spanning
+    many pages."""
+    import random
+
+    from scientific_papers_ocr_spark.oracle import segmentation as oracle_seg
+
+    rng = random.Random(20260817)
+    atoms = [
+        "\n", "\n\n", "*", "[", "]", "[1]", "[2]", "[12]", "[345]",
+        "a", "bb ", " ", "x[3]y", "\n*", "\n\n[4]", "tail", "", "7",
+        "[", "8]", "\n", "[9] body\n\n",
+    ]
+    convs = []
+    for c in range(200):
+        n_pages = rng.randint(1, 8)
+        pages = [
+            "".join(rng.choice(atoms) for _ in range(rng.randint(0, 30)))
+            for _ in range(n_pages)
+        ]
+        convs.append((f"rc-{c:03d}", pages))
+
+    rows = [
+        {"conv_id": cid, "turn_idx": i, "page_text": p}
+        for cid, pages in convs
+        for i, p in enumerate(pages)
+    ]
+    turns_df = spark.createDataFrame(
+        rows, schema="conv_id string, turn_idx int, page_text string"
+    )
+    bounds_df = spark.createDataFrame(
+        [{"conv_id": cid, "ref_turn": 0, "ref_start": 0} for cid, _ in convs],
+        schema="conv_id string, ref_turn int, ref_start int",
+    )
+
+    got: dict[str, dict[int, str]] = {}
+    for r in dist.references_entries(bounds_df, turns_df).collect():
+        got.setdefault(r["conv_id"], {})[r["ref_number"]] = r["raw"]
+
+    for cid, pages in convs:
+        want = oracle_seg.parse_reference_entries(" ".join(pages))
+        assert got.get(cid, {}) == want, (cid, pages)
+
+
 def test_release_planning_caches_unpersists(spark):
     """Every segment_documents_distributed call persists three planning
     frames; release_planning_caches must unpersist ALL of them (across
