@@ -168,18 +168,28 @@ def test_references_entries_randomized_parity_with_oracle(spark):
             "".join(rng.choice(atoms) for _ in range(rng.randint(0, 30)))
             for _ in range(n_pages)
         ]
-        convs.append((f"rc-{c:03d}", pages))
+        # half the conversations also randomize the boundary, exercising the
+        # first-piece ref_start slice and the offset math downstream of it
+        if c % 2:
+            ref_turn = rng.randrange(n_pages)
+            ref_start = rng.randint(0, len(pages[ref_turn])) if pages[ref_turn] else 0
+        else:
+            ref_turn, ref_start = 0, 0
+        convs.append((f"rc-{c:03d}", pages, ref_turn, ref_start))
 
     rows = [
         {"conv_id": cid, "turn_idx": i, "page_text": p}
-        for cid, pages in convs
+        for cid, pages, _, _ in convs
         for i, p in enumerate(pages)
     ]
     turns_df = spark.createDataFrame(
         rows, schema="conv_id string, turn_idx int, page_text string"
     )
     bounds_df = spark.createDataFrame(
-        [{"conv_id": cid, "ref_turn": 0, "ref_start": 0} for cid, _ in convs],
+        [
+            {"conv_id": cid, "ref_turn": rt, "ref_start": rs}
+            for cid, _, rt, rs in convs
+        ],
         schema="conv_id string, ref_turn int, ref_start int",
     )
 
@@ -187,9 +197,10 @@ def test_references_entries_randomized_parity_with_oracle(spark):
     for r in dist.references_entries(bounds_df, turns_df).collect():
         got.setdefault(r["conv_id"], {})[r["ref_number"]] = r["raw"]
 
-    for cid, pages in convs:
-        want = oracle_seg.parse_reference_entries(" ".join(pages))
-        assert got.get(cid, {}) == want, (cid, pages)
+    for cid, pages, rt, rs in convs:
+        tail = [pages[rt][rs:]] + list(pages[rt + 1:])
+        want = oracle_seg.parse_reference_entries(" ".join(tail))
+        assert got.get(cid, {}) == want, (cid, pages, rt, rs)
 
 
 def test_release_planning_caches_unpersists(spark):
