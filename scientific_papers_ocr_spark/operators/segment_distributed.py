@@ -476,9 +476,10 @@ def references_entries(boundaries: DataFrame, turns_out: DataFrame) -> DataFrame
         markers cannot have one either); dict ⇒ last duplicate number wins.
         """
         if not len(pdf):
-            return pd.DataFrame(columns=["conv_id", "num", "s", "e"])
+            return pd.DataFrame(columns=["conv_id", "num", "s", "e", "rank"])
         conv_id = pdf["conv_id"].iloc[0]
         best: dict[int, tuple[int, int]] = {}
+        ranks: dict[int, int] = {}
         pos = 0
         for start, end, num, next_t in sorted(
             zip(pdf["start"], pdf["end"], pdf["num"], pdf["next_t"])
@@ -487,15 +488,20 @@ def references_entries(boundaries: DataFrame, turns_out: DataFrame) -> DataFrame
                 continue
             if pd.isna(next_t):
                 break
-            best[int(num)] = (int(end), int(next_t))
+            n = int(num)
+            # Python-dict semantics downstream: a re-inserted number keeps its
+            # ORIGINAL position (first-insertion rank) but takes the new body
+            if n not in ranks:
+                ranks[n] = len(ranks)
+            best[n] = (int(end), int(next_t))
             pos = int(next_t)
         return pd.DataFrame(
-            [(conv_id, n, s, e) for n, (s, e) in best.items()],
-            columns=["conv_id", "num", "s", "e"],
+            [(conv_id, n, s, e, ranks[n]) for n, (s, e) in best.items()],
+            columns=["conv_id", "num", "s", "e", "rank"],
         )
 
     spans = markers.groupBy("conv_id").applyInPandas(
-        replay, schema="conv_id string, num long, s long, e long"
+        replay, schema="conv_id string, num long, s long, e long, rank long"
     )
 
     # exactly-once chunk-binned range join (see section_texts): a
@@ -539,12 +545,13 @@ def references_entries(boundaries: DataFrame, turns_out: DataFrame) -> DataFrame
         joined.select(
             "conv_id",
             "num",
+            "rank",
             "turn_idx",
             F.col("piece").substr((cs + 1).cast("int"), (ce - cs).cast("int")).alias(
                 "contrib"
             ),
         )
-        .groupBy("conv_id", "num")
+        .groupBy("conv_id", "num", "rank")
         .agg(
             F.array_join(
                 F.transform(
@@ -564,12 +571,17 @@ def references_entries(boundaries: DataFrame, turns_out: DataFrame) -> DataFrame
                 {
                     "conv_id": pdf["conv_id"],
                     "ref_number": pdf["num"].astype("int64"),
+                    # scan-order rank: the oracle's entries dict preserves
+                    # FIRST-insertion order, and transcription/edoc rendering
+                    # iterate it — numeric order is NOT equivalent when
+                    # entries appear out of order in the text
+                    "ref_rank": pdf["rank"].astype("int64"),
                     "raw": pdf["body"].map(lambda b: (b or "").strip()),
                 }
             )
 
     return grouped.mapInPandas(
-        strip_rows, schema="conv_id string, ref_number int, raw string"
+        strip_rows, schema="conv_id string, ref_number int, ref_rank int, raw string"
     )
 
 
@@ -617,8 +629,15 @@ def assemble_documents_distributed(turns_out: DataFrame) -> DataFrame:
             )
         ).alias("sections")
     )
+    # sort by SCAN rank, not number: the oracle's entries dict (and therefore
+    # transcription + edoc rendering) iterates in first-insertion order
     ref_arr = refs.groupBy("conv_id").agg(
-        F.array_sort(F.collect_list(F.struct("ref_number", "raw"))).alias("references")
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("ref_rank", "ref_number", "raw"))
+            ),
+            lambda x: F.struct(x["ref_number"].alias("ref_number"), x["raw"].alias("raw")),
+        ).alias("references")
     )
 
     base = (

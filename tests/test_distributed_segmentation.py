@@ -193,14 +193,67 @@ def test_references_entries_randomized_parity_with_oracle(spark):
         schema="conv_id string, ref_turn int, ref_start int",
     )
 
-    got: dict[str, dict[int, str]] = {}
+    got_rows: dict[str, list] = {}
     for r in dist.references_entries(bounds_df, turns_df).collect():
-        got.setdefault(r["conv_id"], {})[r["ref_number"]] = r["raw"]
+        got_rows.setdefault(r["conv_id"], []).append(
+            (r["ref_rank"], r["ref_number"], r["raw"])
+        )
 
     for cid, pages, rt, rs in convs:
         tail = [pages[rt][rs:]] + list(pages[rt + 1:])
         want = oracle_seg.parse_reference_entries(" ".join(tail))
-        assert got.get(cid, {}) == want, (cid, pages, rt, rs)
+        got = [(n, raw) for _, n, raw in sorted(got_rows.get(cid, []))]
+        # ORDERED comparison: the oracle dict's first-insertion order is part
+        # of the contract (transcription/edoc rendering iterate it)
+        assert got == list(want.items()), (cid, pages, rt, rs)
+
+
+def test_fuzzed_pages_whole_vs_distributed_parity(spark):
+    """Junk-page fuzz through BOTH assemblers: whole-conv vs distributed must
+    agree column-for-column on arbitrary character soup.  This is the test
+    that caught the references-ordering defect: the oracle's entries dict
+    preserves scan (first-insertion) order and rendering iterates it, so a
+    numerically-sorted distributed path diverges whenever entries appear out
+    of order in the text — which crafted fixtures never do."""
+    import datetime
+    import random
+
+    alph = list("abc ABC\n#*_`$[](){}.,;:!?\"'\\/-=+0123456789") + [
+        "é", "中", "\U0001f389", "א", "́", "ﬁ",
+        "\n\n", "## ", "[1] ", "[2] ", "Abstract", "References", "$$", "\n* ",
+    ]
+    all_rows = []
+    for seed in range(20):
+        rng = random.Random(1000 + seed)
+        cid = f"dfuzz-{seed:02d}"
+        for i in range(rng.randint(1, 8)):
+            page = "".join(rng.choice(alph) for _ in range(rng.randint(0, 500)))
+            all_rows.append(
+                {
+                    "conv_id": cid, "turn_idx": i, "role": "user",
+                    "text": page, "tool": "",
+                    "ts": datetime.datetime(2024, 1, 1, 0, 0, i),
+                }
+            )
+
+    from scientific_papers_ocr_spark import schemas
+
+    df = spark.createDataFrame(all_rows, schema=schemas.TRANSCRIPTS)
+    t = turnops.extract_turns(df, num_buckets=4).cache()
+    try:
+        whole = {r["conv_id"]: r for r in docops.assemble_documents(t).collect()}
+        got = {
+            r["conv_id"]: r
+            for r in dist.assemble_documents_distributed(t).collect()
+        }
+        assert set(got) == set(whole)
+        for cid in whole:
+            w, g = whole[cid].asDict(), got[cid].asDict()
+            for col in w:
+                assert g[col] == w[col], (cid, col)
+    finally:
+        t.unpersist()
+        dist.release_planning_caches()
 
 
 def test_release_planning_caches_unpersists(spark):
