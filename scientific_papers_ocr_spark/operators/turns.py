@@ -51,7 +51,9 @@ def _process_batch(
                 page_text = assembly.flatten_parts(parts)
                 repaired = True
         blocks = markup.split_markdown_into_blocks(page_text)
-        clean = markup.clean_turn_text(page_text) if with_clean_text else None
+        # render from the blocks already computed — clean_turn_text(page_text)
+        # would re-split the same page (was ~2x the split cost per turn)
+        clean = markup.render_clean_text(blocks) if with_clean_text else None
         scores = verdict["scores"]
         meta = assembly.extract_turn_meta(tool) if turn_idx == 0 else None
         out["conv_id"].append(conv_id)

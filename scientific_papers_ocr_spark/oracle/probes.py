@@ -38,10 +38,12 @@ def is_meaningful(text: str, min_alpha_ratio: float = 0.7, min_avg_word_length: 
 
     Reference: static_method_classes.py:17-25.
     """
-    alpha = sum(1 for ch in text if ch.isalpha())
+    # sum(map(...)) counts True values — same result as the genexpr filter,
+    # but the iteration stays in C (this is the narrow stage's hottest loop)
+    alpha = sum(map(str.isalpha, text))
     ratio = alpha / len(text) if text else 0
     words = text.split()
-    avg_len = sum(len(w) for w in words) / len(words) if words else 0
+    avg_len = sum(map(len, words)) / len(words) if words else 0
     return ratio >= min_alpha_ratio and avg_len >= min_avg_word_length
 
 
@@ -63,21 +65,24 @@ def probe_sentences(
     pos = 0
     for _ in range(len(words) - sentence_length + 1):
         non_alpha_seen = 0
-        candidate = " ".join(words[pos : pos + sentence_length])
-        if not candidate:
+        # words come from str.split(), so they contain no whitespace and
+        # " ".join(cand_words).split() == cand_words — iterate the slice
+        # directly instead of join+re-split (hot loop)
+        cand_words = words[pos : pos + sentence_length]
+        if not cand_words:
             break
         ok = True
-        for w_idx, word in enumerate(candidate.split()):
+        for w_idx, word in enumerate(cand_words):
             if len(word) < min_word_len:
                 pos += w_idx + 1
                 ok = False
                 break
-            if any(ch.isupper() for ch in word):
+            if any(map(str.isupper, word)):
                 pos += w_idx + 1
                 ok = False
                 break
             if not word.isalpha():
-                non_alpha_seen += sum(not ch.isalpha() for ch in word)
+                non_alpha_seen += len(word) - sum(map(str.isalpha, word))
                 if non_alpha_seen > max_non_alpha:
                     pos += w_idx + 1
                     ok = False
@@ -92,8 +97,8 @@ def probe_sentences(
                 break
         if not ok:
             continue
-        pos += len(candidate.split())
-        accepted.append(candidate)
+        pos += len(cand_words)
+        accepted.append(" ".join(cand_words))
         if len(accepted) >= limit:
             break
     return accepted
@@ -130,9 +135,12 @@ def score_block(block_text: str, transcription: str) -> int:
 
     Reference: check_single_page.py:186-208 (``assign_scores``).
     """
-    if not is_meaningful(block_text):
-        return -1
+    # both gates return -1, so checking the O(1) length gate before the
+    # O(len) alpha scan is result-identical and skips the scan on short
+    # blocks (the reference checks meaningfulness first — same outcomes)
     if not is_long_enough(block_text):
+        return -1
+    if not is_meaningful(block_text):
         return -1
     return presence_score(block_text, transcription)
 
