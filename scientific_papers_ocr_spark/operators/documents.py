@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from .. import schemas
 from ..oracle import assembly, segmentation, textnorm
+from . import fastjson
 
 
 def prune_for_assembly(turns_out: DataFrame) -> DataFrame:
@@ -58,13 +59,14 @@ def _assemble_rows(
         seg["sections"], title, authors, seg["abstract"], seg["references"],
         include_references=True,
     )
-    edoc_json = json.dumps(
+    # byte-identical fast path for json.dumps(..., indent=4); the oracle
+    # keeps stdlib json, so every byte-parity test cross-checks this
+    edoc_json = fastjson.dumps_indent4(
         assembly.edoc_dict(
             seg["sections"], title, authors, creation_date,
             seg["abstract"], seg["references"], conv_id=conv_id,
             keywords=textnorm.split_keywords((meta or {}).get("keywords")),
-        ),
-        indent=4,
+        )
     )
     sections = [
         {

@@ -598,7 +598,7 @@ def assemble_documents_distributed(turns_out: DataFrame) -> DataFrame:
     """
     import json as _json
 
-    from . import documents as docops
+    from . import documents as docops, fastjson
     from .. import schemas
 
     parts = segment_documents_distributed(turns_out)
@@ -711,13 +711,13 @@ def assemble_documents_distributed(turns_out: DataFrame) -> DataFrame:
                     sec_dict, title, authors, abstract, references,
                     include_references=True,
                 )
-                edoc_json = _json.dumps(
+                # byte-identical fast path for json.dumps(..., indent=4)
+                edoc_json = fastjson.dumps_indent4(
                     assembly.edoc_dict(
                         sec_dict, title, authors, creation_date, abstract,
                         references, conv_id=r.conv_id,
                         keywords=textnorm.split_keywords((meta or {}).get("keywords")),
-                    ),
-                    indent=4,
+                    )
                 )
                 sections_out = [
                     {

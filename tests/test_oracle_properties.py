@@ -155,3 +155,52 @@ def test_resize_bilinear_bounds_and_shape(w, h, out_w, out_h, payload):
     assert out.dtype == np.uint8
     assert out.min() >= img.min() and out.max() <= img.max()
     assert np.array_equal(multimodal.resize_bilinear(img, w, h), img)
+
+
+# --- fastjson: byte parity with stdlib json.dumps(indent=4) -----------------
+
+JSON_SCALARS = st.one_of(
+    st.none(),
+    st.booleans(),
+    st.integers(min_value=-(10**30), max_value=10**30),
+    st.floats(allow_nan=True, allow_infinity=True),
+    st.text(max_size=30),
+)
+JSON_VALUES = st.recursive(
+    JSON_SCALARS,
+    lambda children: st.one_of(
+        st.lists(children, max_size=5),
+        st.dictionaries(st.text(max_size=10), children, max_size=5),
+    ),
+    max_leaves=25,
+)
+
+
+@given(JSON_VALUES)
+@settings(max_examples=300)
+def test_fastjson_matches_stdlib(obj):
+    import json
+
+    from scientific_papers_ocr_spark.operators import fastjson
+
+    assert fastjson.dumps_indent4(obj) == json.dumps(obj, indent=4)
+
+
+def test_fastjson_fallback_domain():
+    """Objects outside the fast domain (tuples, non-str keys, subclasses)
+    must still match stdlib via the wholesale fallback."""
+    import json
+
+    from scientific_papers_ocr_spark.operators import fastjson
+
+    class OddStr(str):
+        pass
+
+    for obj in [
+        (1, 2, 3),
+        {1: "intkey", True: "boolkey"},
+        {"t": (1, "a", None)},
+        [OddStr("sub")],
+        {"nested": {2.5: ["floatkey"]}},
+    ]:
+        assert fastjson.dumps_indent4(obj) == json.dumps(obj, indent=4)
