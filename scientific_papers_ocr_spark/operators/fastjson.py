@@ -40,12 +40,13 @@ def _enc(o, level: int, add) -> None:
             add("{}")
             return
         nl = _indent(level + 1)
+        sep = "," + nl
         add("{")
         first = True
         for k, v in o.items():
             if k.__class__ is not str:
                 raise TypeError(k)
-            add(nl if first else "," + nl)
+            add(nl if first else sep)
             first = False
             add(_esc(k))
             add(": ")
@@ -57,10 +58,11 @@ def _enc(o, level: int, add) -> None:
             add("[]")
             return
         nl = _indent(level + 1)
+        sep = "," + nl
         add("[")
         first = True
         for v in o:
-            add(nl if first else "," + nl)
+            add(nl if first else sep)
             first = False
             _enc(v, level + 1, add)
         add(_indent(level))

@@ -14,7 +14,16 @@ import re
 
 # Words matching this are never accepted inside a probe sentence ("mth", "nth"
 # OCR artifacts).  Reference: static_method_classes.py:151-154.
+# NOTE: as a boolean, search(word) is exactly `"mth" in word or "nth" in word`
+# (the \S* wings match empty), so the hot loop uses the C substring test; the
+# pattern is kept as the executable statement of the reference contract.
 _BAD_WORD_RE = re.compile(r"\S*[mn]th\S*")
+
+# C-level fast path for counting alphabetic chars in ASCII text: translate
+# with this table deletes every ASCII alphabetic char in one pass, so
+# alpha = len(text) - len(translated).  Exact for isalpha on ASCII; non-ASCII
+# strings fall back to the per-char scan.
+_DEL_ASCII_ALPHA = {c: None for c in range(128) if chr(c).isalpha()}
 
 # Trailing characters that disqualify a word.
 # Reference: static_method_classes.py:204.
@@ -39,8 +48,12 @@ def is_meaningful(text: str, min_alpha_ratio: float = 0.7, min_avg_word_length: 
     Reference: static_method_classes.py:17-25.
     """
     # sum(map(...)) counts True values — same result as the genexpr filter,
-    # but the iteration stays in C (this is the narrow stage's hottest loop)
-    alpha = sum(map(str.isalpha, text))
+    # but the iteration stays in C (this is the narrow stage's hottest loop);
+    # ASCII text (the overwhelming case) counts via a single translate pass
+    if text.isascii():
+        alpha = len(text) - len(text.translate(_DEL_ASCII_ALPHA))
+    else:
+        alpha = sum(map(str.isalpha, text))
     ratio = alpha / len(text) if text else 0
     words = text.split()
     avg_len = sum(map(len, words)) / len(words) if words else 0
@@ -77,7 +90,10 @@ def probe_sentences(
                 pos += w_idx + 1
                 ok = False
                 break
-            if any(map(str.isupper, word)):
+            # islower() is a single C call that is True iff the word has cased
+            # chars and none are upper — when True, any(isupper) is False, so
+            # the per-char scan only runs for the (rare) non-lowercase words
+            if not word.islower() and any(map(str.isupper, word)):
                 pos += w_idx + 1
                 ok = False
                 break
@@ -87,7 +103,8 @@ def probe_sentences(
                     pos += w_idx + 1
                     ok = False
                     break
-            if _BAD_WORD_RE.search(word):
+            # boolean-equivalent C substring test for _BAD_WORD_RE.search
+            if "mth" in word or "nth" in word:
                 pos += w_idx + 1
                 ok = False
                 break

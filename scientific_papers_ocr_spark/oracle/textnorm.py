@@ -24,6 +24,10 @@ def squash_newlines(text: str) -> str:
 
     Reference: rich_docs/edocument_class.py:58,83; main_nougat.py:141.
     """
+    # \n{3,} can only match where "\n\n\n" occurs — the C substring test
+    # skips the regex machinery for the overwhelmingly common clean case
+    if "\n\n\n" not in text:
+        return text.strip()
     return _SQUASH_RE.sub("\n\n", text).strip()
 
 
