@@ -159,38 +159,54 @@ def split_markdown_into_blocks(
     Reference: markdown_to_notion_blocks.py:285-374 (``split_mathpix_markdown_
     into_blocks`` + ``parse_blocks`` + ``parse_header_blocks``).
     """
-    raw_blocks: list[dict] = []
+    # intermediates are (type, content) tuples rather than dicts — dicts are
+    # only materialized for emitted blocks (this function is the second-
+    # hottest frame of the narrow stage); logic and emitted values are
+    # unchanged from the two-pass dict form
+    raw_blocks: list[tuple[str, str]] = []
     for paragraph in markdown.split("\n\n"):
         opens, closes = math_block_positions(paragraph)
         if opens is None and closes is None:
-            raw_blocks.append({"type": TEXT, "content": paragraph})
+            raw_blocks.append((TEXT, paragraph))
             continue
         cursor = 0
         for op, cl in zip(opens, closes):
-            raw_blocks.append({"type": TEXT, "content": paragraph[cursor:op]})
-            raw_blocks.append({"type": MATH, "content": paragraph[op:cl]})
+            raw_blocks.append((TEXT, paragraph[cursor:op]))
+            raw_blocks.append((MATH, paragraph[op:cl]))
             cursor = cl
         if cursor < len(paragraph):
-            raw_blocks.append({"type": TEXT, "content": paragraph[cursor:]})
+            raw_blocks.append((TEXT, paragraph[cursor:]))
 
     out: list[dict] = []
-    for block in raw_blocks:
-        if block["content"] == "":
+    for btype, content in raw_blocks:
+        if content == "":
             continue
-        if block["type"] == MATH:
-            inner = block["content"].replace("\\[", "").replace("\\]", "")
-            block["content"] = normalize_katex(inner)
-        if block["content"].strip() == "":
+        if btype == MATH:
+            content = normalize_katex(content.replace("\\[", "").replace("\\]", ""))
+        if content.strip() == "":
             continue
-        if max_len_block is not None and len(block["content"]) > max_len_block:
-            pieces = [t for t in chunk_text(block["content"], max_len_block) if t != ""]
-            if block["type"] == MATH:
+        if max_len_block is not None and len(content) > max_len_block:
+            pieces = [t for t in chunk_text(content, max_len_block) if t != ""]
+            if btype == MATH:
                 # mutable-dict quirk: every chunk slot carries the last chunk
                 out.extend({"type": MATH, "content": pieces[-1]} for _ in pieces)
             else:
-                out.extend(_classify_header({"type": block["type"], "content": t}) for t in pieces)
+                out.extend(_classify_header({"type": btype, "content": t}) for t in pieces)
             continue
-        out.append(_classify_header(block) if block["type"] == TEXT else block)
+        if btype == TEXT:
+            # inline _classify_header (### before ## before #), skipping the
+            # intermediate dict for the dominant non-header case
+            if content.startswith("#"):
+                if content.startswith("###"):
+                    out.append({"type": HEADER3, "content": content[3:].strip()})
+                elif content.startswith("##"):
+                    out.append({"type": HEADER2, "content": content[2:].strip()})
+                else:
+                    out.append({"type": HEADER1, "content": content[1:].strip()})
+            else:
+                out.append({"type": TEXT, "content": content})
+        else:
+            out.append({"type": btype, "content": content})
     return out
 
 
@@ -292,6 +308,9 @@ def clean_turn_text(markdown: str, max_len_block: Optional[int] = None) -> str:
     )
 
 
+_HEADER_PREFIX = {HEADER1: "# ", HEADER2: "## ", HEADER3: "### "}
+
+
 def render_clean_text(blocks: list[dict]) -> str:
     """Rendering half of ``clean_turn_text``, callable on an
     already-computed block list — the narrow stage needs both the blocks and
@@ -299,13 +318,14 @@ def render_clean_text(blocks: list[dict]) -> str:
     largest avoidable cost."""
     from .textnorm import squash_newlines
 
-    prefix = {HEADER1: "# ", HEADER2: "## ", HEADER3: "### "}
+    prefix = _HEADER_PREFIX
     rendered: list[str] = []
     for block in blocks:
-        if block["type"] == MATH:
+        btype = block["type"]
+        if btype == MATH:
             rendered.append("\\[" + block["content"] + "\\]")
-        elif block["type"] in prefix:
-            rendered.append(prefix[block["type"]] + block["content"])
+        elif btype in prefix:
+            rendered.append(prefix[btype] + block["content"])
         else:
             rendered.append(block["content"])
     return squash_newlines("\n\n".join(rendered))
