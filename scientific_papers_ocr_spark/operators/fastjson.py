@@ -1,7 +1,8 @@
 """Byte-identical fast path for ``json.dumps(obj, indent=4)``.
 
 The EDocument golden contract is the stdlib serialization with ``indent=4``
-(reference: ``rich_docs/e_doc_classes.py`` writes ``json.dump(..., indent=4)``),
+(reference: ``rich_docs/edocument_class.py:110`` ``json.dumps(self.to_dict(),
+indent=4)``),
 and ``indent`` forces CPython's pure-Python encoder — which profiling shows is
 ~40% of the per-conversation assembly kernel.  This module re-implements only
 the combination the engine uses (``ensure_ascii=True`` via the C
