@@ -197,9 +197,13 @@ def test_fuzzed_pages_byte_parity(spark):
     import datetime
     import random
 
+    import json as _json
+
+    from scientific_papers_ocr_spark import fixtures
+
     alph = list("abc ABC\n#*_`$[](){}.,;:!?\"'\\/-=+0123456789") + [
         "é", "中", "\U0001f389", "א", "́", "ﬁ",
-        "\n\n", "## ", "[1] ", "Abstract", "References", "$$",
+        "\n\n", "## ", "[1] ", "Abstract", "References", "$$", "mth ", "nth ",
     ]
     all_rows, per_conv = [], {}
     for seed in range(12):
@@ -208,10 +212,28 @@ def test_fuzzed_pages_byte_parity(spark):
         rows = []
         for i in range(rng.randint(1, 6)):
             page = "".join(rng.choice(alph) for _ in range(rng.randint(0, 400)))
+            # layout side channel fuzz: every verification/repair path plus
+            # truncated-JSON junk and turn-0 metadata payloads
+            kind = rng.randrange(6)
+            if kind == 0:
+                tool = ""
+            elif kind == 1:
+                tool = fixtures._layout_tool(rng, page, complete=True)
+            elif kind == 2:
+                tool = fixtures._layout_tool(rng, page, complete=False, repairable=True)
+            elif kind == 3:
+                tool = fixtures._layout_tool(rng, page, complete=False, repairable=False)
+            elif kind == 4:
+                t = fixtures._layout_tool(rng, page, complete=True)
+                tool = t[: rng.randrange(len(t) + 1)]
+            else:
+                tool = _json.dumps([{"level": 0, "meta": {
+                    "title": page[:30] or None, "authors": ["A B", "C. D"],
+                    "keywords": "k1, k2;k3"}}])
             rows.append(
                 {
                     "conv_id": cid, "turn_idx": i, "role": "user",
-                    "text": page, "tool": "",
+                    "text": page, "tool": tool,
                     "ts": datetime.datetime(2024, 1, 1, 0, 0, i),
                 }
             )
@@ -232,3 +254,5 @@ def test_fuzzed_pages_byte_parity(spark):
             for col in ("page_text", "clean_text", "status"):
                 assert got[col] == t[col], (cid, t["turn_idx"], col)
         assert docs[cid]["transcription"] == oracle["transcription"], cid
+        # stdlib-json oracle vs fastjson production path, byte-for-byte
+        assert docs[cid]["edoc_json"] == oracle["edoc_json"], cid
