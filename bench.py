@@ -344,7 +344,10 @@ def write_baseline_md(
             "executors (local-SSD shuffle, aggregate object-store bandwidth;\n"
             "Iceberg writers are per-partition), so the extraction-stage\n"
             "number above is the faithful N-vs-4N signal this sandbox can\n"
-            "produce.\n\n"
+            "produce.  Corollary: every speedup of the Python compute\n"
+            "kernel mechanically LOWERS this context number (c shrinks\n"
+            "against a fixed f), so a drop here alongside a faster narrow\n"
+            "stage is the Amdahl identity at work, not a regression.\n\n"
             f"## Why N={nlow['cores']} → 4N={nhigh['cores']}\n\n"
             "Two host facts bound the honest choice of N:\n\n"
             "1. This sandbox advertises 32 vCPUs but sustains only ~16 at\n"
