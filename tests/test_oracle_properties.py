@@ -4,7 +4,7 @@ machinery — invariants that must hold on arbitrary input, not just fixtures.""
 import re
 import string
 
-from hypothesis import given, settings, strategies as st
+from hypothesis import example, given, settings, strategies as st
 
 from scientific_papers_ocr_spark.oracle import katex, markup, probes, segmentation, textnorm
 
@@ -204,3 +204,19 @@ def test_fastjson_fallback_domain():
         {"nested": {2.5: ["floatkey"]}},
     ]:
         assert fastjson.dumps_indent4(obj) == json.dumps(obj, indent=4)
+
+
+@example("mth")
+@example("nth word")
+@example("smooth nthing")
+@example(" m th\tnth ")
+@given(st.text(alphabet="mnth aeiX.", max_size=20))
+@settings(max_examples=500)
+def test_bad_word_regex_substring_equivalence(word):
+    """probes.probe_sentences rejects bad words via a C substring test; this
+    pins its boolean equivalence to the reference pattern _BAD_WORD_RE
+    (\\S*[mn]th\\S* — the wings match empty, so a match exists iff the text
+    contains 'mth' or 'nth')."""
+    from scientific_papers_ocr_spark.oracle.probes import _BAD_WORD_RE
+
+    assert bool(_BAD_WORD_RE.search(word)) == ("mth" in word or "nth" in word)
