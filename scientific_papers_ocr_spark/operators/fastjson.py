@@ -13,7 +13,7 @@ back to the stdlib for the whole object, so output equality holds universally.
 The pure-Python oracle (``oracle/assembly.py``) deliberately keeps stdlib
 ``json.dumps``: every byte-parity test between the Spark path and the oracle
 is therefore also a continuous regression test of this serializer.
-Dedicated equivalence tests live in ``tests/test_oracle_units.py``.
+Dedicated equivalence tests live in ``tests/test_oracle_properties.py``.
 """
 from __future__ import annotations
 
@@ -21,13 +21,15 @@ import json
 from json.encoder import encode_basestring_ascii as _esc
 
 _INF = float("inf")
-_INDENTS = ["\n" + " " * (4 * i) for i in range(16)]
+# fixed-size cache: never mutated after import, so concurrent serializers
+# (one per Python worker thread) can share it without a growth race
+_INDENTS = tuple("\n" + " " * (4 * i) for i in range(32))
 
 
 def _indent(level: int) -> str:
-    while level >= len(_INDENTS):
-        _INDENTS.append("\n" + " " * (4 * len(_INDENTS)))
-    return _INDENTS[level]
+    if level < 32:
+        return _INDENTS[level]
+    return "\n" + " " * (4 * level)
 
 
 def _enc(o, level: int, add) -> None:
@@ -96,7 +98,9 @@ def dumps_indent4(obj) -> str:
         out: list[str] = []
         _enc(obj, 0, out.append)
         return "".join(out)
-    except (TypeError, ValueError):
+    except (TypeError, ValueError, RecursionError):
         # outside the supported domain (non-str dict keys, subclasses,
-        # tuples, unknown types): defer to the stdlib wholesale
+        # tuples, unknown types, circular references): defer to the stdlib
+        # wholesale — it raises the canonical diagnostics (e.g.
+        # ValueError('Circular reference detected'))
         return json.dumps(obj, indent=4)

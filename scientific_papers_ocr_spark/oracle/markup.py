@@ -191,40 +191,32 @@ def split_markdown_into_blocks(
                 # mutable-dict quirk: every chunk slot carries the last chunk
                 out.extend({"type": MATH, "content": pieces[-1]} for _ in pieces)
             else:
-                out.extend(_classify_header({"type": btype, "content": t}) for t in pieces)
+                out.extend(_classified_block(btype, t) for t in pieces)
             continue
-        if btype == TEXT:
-            # inline _classify_header (### before ## before #), skipping the
-            # intermediate dict for the dominant non-header case
-            if content.startswith("#"):
-                if content.startswith("###"):
-                    out.append({"type": HEADER3, "content": content[3:].strip()})
-                elif content.startswith("##"):
-                    out.append({"type": HEADER2, "content": content[2:].strip()})
-                else:
-                    out.append({"type": HEADER1, "content": content[1:].strip()})
-            else:
-                out.append({"type": TEXT, "content": content})
-        else:
-            out.append({"type": btype, "content": content})
+        out.append(_classified_block(btype, content))
     return out
 
 
+def _classified_block(btype: str, content: str) -> dict:
+    """Build the emitted block dict, classifying ``#`` headers for TEXT
+    blocks (### before ## before #) — the single home of the header contract
+    for both the chunked and unchunked emit paths."""
+    if btype == TEXT and content.startswith("#"):
+        if content.startswith("###"):
+            return {"type": HEADER3, "content": content[3:].strip()}
+        if content.startswith("##"):
+            return {"type": HEADER2, "content": content[2:].strip()}
+        return {"type": HEADER1, "content": content[1:].strip()}
+    return {"type": btype, "content": content}
+
+
 def _classify_header(block: dict) -> dict:
-    """``###``/``##``/``#`` prefix → HEADER3/2/1 with prefix stripped.
+    """``###``/``##``/``#`` prefix → HEADER3/2/1 with prefix stripped;
+    dict-in/dict-out adapter over ``_classified_block``.
 
     Reference: markdown_to_notion_blocks.py:328-347 (``parse_header_blocks``).
     """
-    if block["type"] != TEXT:
-        return block
-    content = block["content"]
-    if content.startswith("###"):
-        return {"type": HEADER3, "content": content[3:].strip()}
-    if content.startswith("##"):
-        return {"type": HEADER2, "content": content[2:].strip()}
-    if content.startswith("#"):
-        return {"type": HEADER1, "content": content[1:].strip()}
-    return block
+    return _classified_block(block["type"], block["content"])
 
 
 def _tag_inline(text: str) -> str:
