@@ -247,6 +247,18 @@ def upsert_bucket_partitioned(
         .join(F.broadcast(new_ids), on=id_col, how="left_anti")
     )
     merged = existing.unionByName(new_b.select(existing.columns))
+    # A bucket whose ONLY rows were re-ingested ids that moved elsewhere ends
+    # up with ZERO rows in `merged` — and dynamic partition overwrite only
+    # replaces partitions PRESENT in the written data, so its stale directory
+    # would survive the write and probes could still return the evicted
+    # vec_id.  Find those buckets BEFORE the write (after it, the lazy
+    # `existing` plan would re-list a directory whose files the overwrite
+    # deleted) and drop their partition directories once the overwrite has
+    # committed.  Both collects are planning-sized: bounded by the batch's
+    # touched-bucket set, never the table — the same budget Iceberg's MERGE
+    # metadata pass pays.
+    touched_set = {r[0] for r in touched.collect()}
+    kept_set = {r[0] for r in merged.select("lsh_bucket").distinct().collect()}
     (
         merged.repartition("lsh_bucket")
         .write.mode("overwrite")
@@ -254,6 +266,25 @@ def upsert_bucket_partitioned(
         .partitionBy("lsh_bucket")
         .parquet(path)
     )
+    _delete_partition_dirs(
+        spark,
+        path,
+        [f"lsh_bucket={b}" for b in sorted(touched_set - kept_set)],
+    )
+
+
+def _delete_partition_dirs(spark, path: str, partition_dirs: list[str]) -> None:
+    """Remove partition directories through the Hadoop FileSystem API (works
+    on local paths, HDFS and object stores alike) — the delete half of MERGE
+    semantics that ``partitionOverwriteMode=dynamic`` cannot express for
+    partitions with no surviving rows."""
+    if not partition_dirs:
+        return
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    for d in partition_dirs:
+        jpath = jvm.org.apache.hadoop.fs.Path(f"{path.rstrip('/')}/{d}")
+        jpath.getFileSystem(hconf).delete(jpath, True)
 
 
 def probe_buckets(

@@ -108,6 +108,43 @@ def test_upsert_evicts_stale_row_when_update_moves_bucket(spark, emb, tmp_path):
     assert merged.count() == emb.count()
 
 
+def test_upsert_removes_directory_of_emptied_bucket(spark, emb, tmp_path):
+    """The hard eviction case: the bucket-moving id was its old bucket's
+    ONLY row.  The merged frame then has zero rows for that partition, and
+    dynamic partition overwrite only replaces partitions present in the
+    written data — without explicit directory deletion the stale partition
+    (with the stale vec_id) survives on disk and probes can return it."""
+    path = str(tmp_path / "by_bucket")
+    victim = emb.where(F.col("vec_id") == 0)
+    old_bucket = similarity.lsh_bucket(victim, n_planes=6).collect()[0]["lsh_bucket"]
+    # base layout in which vec_id 0 is ALONE in its bucket: every other row
+    # that would share old_bucket is excluded up front
+    others = similarity.lsh_bucket(
+        emb.where(F.col("vec_id") != 0), n_planes=6
+    ).where(F.col("lsh_bucket") != old_bucket).drop("lsh_bucket")
+    similarity.write_bucket_partitioned(others.unionByName(victim), path, n_planes=6)
+    assert (
+        spark.read.parquet(path)
+        .where(F.col("lsh_bucket") == old_bucket)
+        .count()
+        == 1
+    )
+
+    moved = victim.withColumn("embedding", F.transform("embedding", lambda x: -x))
+    new_bucket = similarity.lsh_bucket(moved, n_planes=6).collect()[0]["lsh_bucket"]
+    assert new_bucket != old_bucket
+    similarity.upsert_bucket_partitioned(spark, moved, path, n_planes=6)
+
+    assert f"lsh_bucket={old_bucket}" not in _files_per_bucket(path), (
+        "emptied bucket's stale partition directory survived the upsert"
+    )
+    merged = spark.read.parquet(path)
+    rows = merged.where(F.col("vec_id") == 0).collect()
+    assert len(rows) == 1
+    assert rows[0]["lsh_bucket"] == new_bucket
+    assert merged.select("vec_id").distinct().count() == merged.count()
+
+
 def test_ensure_ingest_invalidates_on_source_regeneration(
     spark, emb, tmp_path, monkeypatch
 ):
