@@ -33,6 +33,7 @@ fixture corpus in tests/test_distributed_segmentation.py.
 from __future__ import annotations
 
 import re
+import threading
 from collections.abc import Iterator
 
 import pandas as pd
@@ -761,17 +762,34 @@ def assemble_documents_distributed(turns_out: DataFrame) -> DataFrame:
 # an explicit unpersist or session end, so a long-lived session calling
 # run_pipeline repeatedly would otherwise accumulate cached partitions in
 # executor memory (one hits/boundaries/heads triple per invocation).
-_PLANNING_CACHES: list[DataFrame] = []
+#
+# The registry is THREAD-LOCAL, matching Spark's own per-thread driver
+# scoping (job groups, scheduler pools): concurrent run_pipeline calls on
+# different driver threads each see only their own frames, so one run's
+# release can never unpersist another run's in-flight planning caches
+# mid-job (which would silently degrade it to full recomputation).
+# Register and release from the same thread — the pipeline does.
+_PLANNING_CACHES = threading.local()
+
+
+def _registered_planning_caches() -> list[DataFrame]:
+    """This driver thread's registered planning frames (mutable)."""
+    frames = getattr(_PLANNING_CACHES, "frames", None)
+    if frames is None:
+        frames = _PLANNING_CACHES.frames = []
+    return frames
 
 
 def release_planning_caches() -> None:
-    """Unpersist every planning frame cached by prior
+    """Unpersist every planning frame cached by THIS driver thread's prior
     ``segment_documents_distributed`` calls.  Call after the consuming
     action (e.g. the pipeline's materialising writes) completes; unpersist
     is safe even if a caller re-executes the returned frames later — they
-    recompute instead of reading cache."""
-    while _PLANNING_CACHES:
-        _PLANNING_CACHES.pop().unpersist(blocking=False)
+    recompute instead of reading cache.  Other threads' registrations are
+    untouched."""
+    frames = _registered_planning_caches()
+    while frames:
+        frames.pop().unpersist(blocking=False)
 
 
 def segment_documents_distributed(turns_out: DataFrame) -> dict[str, DataFrame]:
@@ -796,7 +814,7 @@ def segment_documents_distributed(turns_out: DataFrame) -> dict[str, DataFrame]:
     hits = page_hits(pruned).persist()
     boundaries = elect_boundaries(hits, pruned).persist()
     heads = section_heads(hits, boundaries, pruned).persist()
-    _PLANNING_CACHES.extend((hits, boundaries, heads))
+    _registered_planning_caches().extend((hits, boundaries, heads))
     sections = section_texts(heads, boundaries, turns_out)
     refs = references_entries(boundaries, turns_out)
     return {"boundaries": boundaries, "sections": sections, "references": refs}

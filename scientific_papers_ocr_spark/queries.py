@@ -841,6 +841,31 @@ def _source_signature(sf_dir: str, name: str = "embeddings") -> str:
     return ";".join(parts)
 
 
+def _adopt_legacy_layout(sf_dir: str, leaf: str, path: str, signature: str) -> None:
+    """One-time adoption of a layout materialised under the pre-hash cache
+    tag (bare corpus basename).  Adding the path hash to ``_corpus_tag``
+    changed every cache path; without this, upgrading forces a full
+    re-ingest per corpus and orphans the old directories on disk.  The
+    legacy layout is renamed into the tagged location ONLY when its
+    committed source signature matches this corpus — a layout that belonged
+    to a different same-basename corpus fails the signature check, is left
+    in place, and that corpus re-ingests under its own tag (the stale
+    legacy directory is then dead weight, same as any invalidated cache)."""
+    if os.path.exists(path):
+        return
+    norm = os.path.normpath(os.path.abspath(sf_dir))
+    legacy_dir = os.path.join(_ANN_INGEST_ROOT, os.path.basename(norm) or "corpus")
+    legacy = os.path.join(legacy_dir, leaf)
+    if not _ingest_committed(legacy, signature):
+        return
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    os.rename(legacy, path)
+    try:
+        os.rmdir(legacy_dir)  # only removes it once its last layout moved out
+    except OSError:
+        pass
+
+
 def _ingest_committed(path: str, signature: str) -> bool:
     marker = os.path.join(path, "_INGEST_SOURCE")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
@@ -866,6 +891,7 @@ def ensure_ann_ingest(spark: SparkSession, sf_dir: str, n_planes: int = 6) -> st
     partition pruning."""
     path = ann_ingest_path(sf_dir, n_planes)
     sig = _source_signature(sf_dir)
+    _adopt_legacy_layout(sf_dir, f"embeddings_by_lsh{n_planes}", path, sig)
     if not _ingest_committed(path, sig):
         similarity.write_bucket_partitioned(
             _t(spark, sf_dir, "embeddings"), path, n_planes=n_planes
@@ -918,6 +944,7 @@ def ensure_ivf_ingest(spark: SparkSession, sf_dir: str) -> str:
     source table's signature changes (see ``_source_signature``)."""
     path = ivf_ingest_path(sf_dir)
     sig = _source_signature(sf_dir)
+    _adopt_legacy_layout(sf_dir, "embeddings_by_ivf8", path, sig)
     if not _ingest_committed(path, sig):
         similarity.write_ivf_partitioned(
             _t(spark, sf_dir, "embeddings"), _ivf_centroids(spark, sf_dir), path

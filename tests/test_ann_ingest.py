@@ -185,6 +185,46 @@ def test_ensure_ingest_invalidates_on_source_regeneration(
     assert spark.read.parquet(path).count() == small.count()
 
 
+def test_ensure_ingest_adopts_legacy_untagged_layout(
+    spark, emb, tmp_path, monkeypatch
+):
+    """Layouts materialised under the pre-hash cache tag (bare corpus
+    basename) are renamed into the tagged location instead of being
+    orphaned and re-ingested from scratch — but only when their committed
+    source signature matches this corpus; a same-basename stranger's
+    layout is left alone and a fresh ingest runs."""
+    from scientific_papers_ocr_spark import queries as Q
+
+    sf_dir = tmp_path / "sfx"
+    sf_dir.mkdir()
+    emb.write.parquet(str(sf_dir / "embeddings.parquet"))
+    monkeypatch.setattr(Q, "_ANN_INGEST_ROOT", str(tmp_path / "ingest"))
+
+    # materialise a committed layout at the LEGACY path (bare basename tag)
+    legacy = str(tmp_path / "ingest" / "sfx" / "embeddings_by_lsh6")
+    similarity.write_bucket_partitioned(emb, legacy, n_planes=6)
+    sig = Q._source_signature(str(sf_dir))
+    Q._mark_ingest(legacy, sig)
+    legacy_files = _files_per_bucket(legacy)
+
+    path = Q.ensure_ann_ingest(spark, str(sf_dir), n_planes=6)
+    assert path != legacy
+    assert not os.path.exists(legacy), "legacy layout left orphaned"
+    assert not os.path.exists(os.path.dirname(legacy)), "empty legacy dir kept"
+    # adopted wholesale — the exact files moved, no re-ingest happened
+    assert _files_per_bucket(path) == legacy_files
+
+    # a legacy layout whose signature does NOT match this corpus stays put
+    # and a fresh ingest runs under the tagged path
+    stranger = str(tmp_path / "ingest" / "sfx" / "embeddings_by_ivf8")
+    os.makedirs(stranger)
+    open(os.path.join(stranger, "_SUCCESS"), "w").close()
+    Q._mark_ingest(stranger, "someone-elses-corpus")
+    ivf_path = Q.ensure_ivf_ingest(spark, str(sf_dir))
+    assert os.path.exists(stranger), "mismatched-signature layout was adopted"
+    assert spark.read.parquet(ivf_path).count() == emb.count()
+
+
 def test_streaming_foreachbatch_upsert_converges_to_batch_layout(
     spark, emb, tmp_path
 ):

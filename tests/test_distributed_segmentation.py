@@ -263,16 +263,55 @@ def test_release_planning_caches_unpersists(spark):
     partitions in executor memory."""
     df = tsrc.corpus_dataframe(spark, num_convs=2, seed=7)
     t = turnops.extract_turns(df, num_buckets=4)
-    before = len(dist._PLANNING_CACHES)
+    before = len(dist._registered_planning_caches())
     out1 = dist.segment_documents_distributed(t)
     out2 = dist.segment_documents_distributed(t)
     out1["sections"].count()
     out2["sections"].count()
-    registered = dist._PLANNING_CACHES[before:]
+    registered = dist._registered_planning_caches()[before:]
     assert len(registered) == 6
     assert all(f.storageLevel.useMemory for f in registered)
     dist.release_planning_caches()
-    assert dist._PLANNING_CACHES == []
+    assert dist._registered_planning_caches() == []
     assert not any(f.storageLevel.useMemory for f in registered)
     # released frames still compute correctly (cache miss -> recompute)
     assert out1["boundaries"].count() == out2["boundaries"].count()
+
+
+def test_release_planning_caches_is_scoped_per_thread(spark):
+    """The cache registry is thread-local: one pipeline's release must not
+    unpersist another concurrent pipeline's in-flight planning frames (that
+    would silently degrade the other run to full recomputation mid-job).
+
+    The two pipelines must run over DIFFERENT inputs, as concurrent real
+    runs do: Spark's CacheManager keys cached data by logical plan, so two
+    persists of the SAME plan share one cache entry that either handle's
+    unpersist removes — no registry scoping can (or should) isolate that."""
+    import threading
+
+    df = tsrc.corpus_dataframe(spark, num_convs=2, seed=7)
+    t = turnops.extract_turns(df, num_buckets=4)
+    df_other = tsrc.corpus_dataframe(spark, num_convs=3, seed=11)
+    t_other = turnops.extract_turns(df_other, num_buckets=4)
+    other: dict = {}
+
+    def other_pipeline():
+        out = dist.segment_documents_distributed(t_other)
+        out["sections"].count()
+        other["frames"] = list(dist._registered_planning_caches())
+
+    th = threading.Thread(target=other_pipeline)
+    th.start()
+    th.join()
+    assert len(other["frames"]) == 3
+    assert all(f.storageLevel.useMemory for f in other["frames"])
+
+    # this thread releases ITS registrations — the other thread's caches
+    # must stay persisted
+    out_here = dist.segment_documents_distributed(t)
+    out_here["sections"].count()
+    dist.release_planning_caches()
+    assert dist._registered_planning_caches() == []
+    assert all(f.storageLevel.useMemory for f in other["frames"])
+    for f in other["frames"]:
+        f.unpersist(blocking=False)
