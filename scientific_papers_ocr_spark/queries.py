@@ -1903,6 +1903,164 @@ LEFT JOIN by_t t ON p.title IS NOT NULL AND p.year IS NULL
 """
 
 
+def q_ref_enrichment_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline analog of the elaborator's RANKED CrossRef scan
+    (elaborator_class.py:145-174): CrossRef returns results ordered by
+    relevance, the reference takes the top ``limit=3`` and enriches from the
+    FIRST exact (case-insensitive) title match among them — a near-miss
+    that outranks the true title can push it out of the scanned window.
+    Offline, the relevance score is title-token Jaccard, deterministically
+    tie-broken (score desc, candidate title asc, doi asc).
+
+    The output carries the ranking evidence, not just the hit: the top-1
+    candidate (``best_title``/``best_score`` — CrossRef's first suggestion)
+    plus the exact-match enrichment (``doi``/``matched_rank``) when one of
+    the top-3 titles matches exactly; refs whose best fuzzy candidate is
+    NOT an exact match stay unenriched — the fuzzy-suggest/exact-accept gap
+    that distinguishes this from ``ref_enrichment``'s equality join.
+
+    Scale shape: candidates come from an inverted token index — catalog
+    tokens exploded and BROADCAST, ref tokens exploded and hash-joined on
+    the token — so scoring is linear in token-sharing pairs, never
+    all-pairs; the window ranks per-ref candidate sets (small by
+    construction).  The same LSH-style candidate-generation shape as the
+    dedup operators."""
+    parsed = q_citation_parse(spark, sf_dir)
+    # mod-7 kills titles (no query without a title, :86-87); mod-3 appends a
+    # noise token — the OCR'd-title-with-junk case: its best candidate
+    # scores n/(n+1), is SUGGESTED but never ACCEPTED (no exact match)
+    refs = parsed.where(F.col("p_partkey") % 13 == 1).select(
+        "p_partkey",
+        F.when(F.col("p_partkey") % 7 == 0, F.lit(None).cast("string"))
+        .when(F.col("p_partkey") % 3 == 0, F.concat(F.col("title"), F.lit(" study")))
+        .otherwise(F.col("title"))
+        .alias("title"),
+    )
+    rt = F.lower(F.trim(F.col("title")))
+    refs_tok = refs.where(F.col("title").isNotNull()).select(
+        "p_partkey",
+        rt.alias("rt"),
+        F.array_distinct(F.split(rt, " ")).alias("rtoks"),
+    )
+    p = _t(spark, sf_dir, "part")
+    name = F.lower(F.trim(F.col("p_name")))
+    # mod-29 word-reverses the catalog title: identical token SET (Jaccard
+    # 1.0) but a different string — the relevance-tied candidate that can
+    # outrank the exact title in the top-3 window, exactly the shadowing the
+    # reference's ranked-scan-then-exact-match semantics admits
+    ct = F.when(
+        F.col("p_partkey") % 29 == 2,
+        F.concat_ws(" ", F.reverse(F.split(name, " "))),
+    ).otherwise(name)
+    cat = p.where(F.col("p_partkey") % 2 == 0).select(
+        ct.alias("ct"),
+        F.array_distinct(F.split(ct, " ")).alias("ctoks"),
+        F.format_string("10.1000/%d", F.col("p_partkey")).alias("doi"),
+    )
+    cat_index = cat.select(F.explode("ctoks").alias("tok"), "ct", "ctoks", "doi")
+    cand = (
+        refs_tok.select("p_partkey", "rt", "rtoks", F.explode("rtoks").alias("tok"))
+        .join(F.broadcast(cat_index), "tok")
+        .select("p_partkey", "rt", "rtoks", "ct", "ctoks", "doi")
+        .distinct()
+    )
+    score = (
+        F.size(F.array_intersect("rtoks", "ctoks")).cast("double")
+        / F.size(F.array_distinct(F.concat("rtoks", "ctoks")))
+    ).alias("score")
+    w = Window.partitionBy("p_partkey").orderBy(
+        F.desc("score"), F.asc("ct"), F.asc("doi")
+    )
+    ranked = cand.select("p_partkey", "rt", "ct", "doi", score).withColumn(
+        "rn", F.row_number().over(w)
+    )
+    top3 = ranked.where(F.col("rn") <= 3)
+    best = top3.where(F.col("rn") == 1).select(
+        "p_partkey",
+        F.col("ct").alias("best_title"),
+        F.round("score", 4).alias("best_score"),
+    )
+    hit = (
+        top3.where(F.col("rt") == F.col("ct"))
+        .groupBy("p_partkey")
+        .agg(F.min_by(F.struct("doi", "rn"), "rn").alias("_m"))
+        .select("p_partkey", F.col("_m.doi").alias("_doi"), F.col("_m.rn").alias("_rn"))
+    )
+    return (
+        refs.join(best, on="p_partkey", how="left")
+        .join(hit, on="p_partkey", how="left")
+        .select(
+            "p_partkey",
+            F.coalesce("title", F.lit("")).alias("title"),
+            F.coalesce("best_title", F.lit("")).alias("best_title"),
+            F.coalesce("best_score", F.lit(-1.0)).alias("best_score"),
+            F.coalesce("_doi", F.lit("")).alias("doi"),
+            F.coalesce(F.col("_rn").cast("int"), F.lit(-1)).alias("matched_rank"),
+        )
+    )
+
+
+SQL_REF_ENRICHMENT_RANKED = """
+WITH w AS (
+  SELECT p_partkey,
+         printf('[%d] A. Alpha, and B. Beta, "%s," _IEEE Trans. %s_, vol. %d, no. 2, pp. 1-9, %d.',
+                p_partkey, p_name, p_brand, (p_size % 50) + 1, (p_partkey % 30) + 1990) AS raw
+  FROM part WHERE p_partkey % 13 = 1
+),
+parsed AS (
+  SELECT p_partkey,
+         CASE WHEN p_partkey % 7 = 0 THEN NULL
+              WHEN p_partkey % 3 = 0 THEN regexp_extract(raw, '"(.+?),?"', 1) || ' study'
+              ELSE regexp_extract(raw, '"(.+?),?"', 1) END AS title
+  FROM w
+),
+refs AS (
+  SELECT p_partkey, title, lower(trim(title)) AS rt,
+         list_distinct(string_split(lower(trim(title)), ' ')) AS rtoks
+  FROM parsed WHERE title IS NOT NULL
+),
+catalog AS (
+  SELECT CASE WHEN p_partkey % 29 = 2
+              THEN array_to_string(list_reverse(string_split(lower(trim(p_name)), ' ')), ' ')
+              ELSE lower(trim(p_name)) END AS ct,
+         list_distinct(string_split(CASE WHEN p_partkey % 29 = 2
+              THEN array_to_string(list_reverse(string_split(lower(trim(p_name)), ' ')), ' ')
+              ELSE lower(trim(p_name)) END, ' ')) AS ctoks,
+         printf('10.1000/%d', p_partkey) AS doi
+  FROM part WHERE p_partkey % 2 = 0
+),
+cand AS (
+  SELECT r.p_partkey, r.rt, c.ct, c.doi,
+         CAST(len(list_intersect(r.rtoks, c.ctoks)) AS DOUBLE)
+           / len(list_distinct(list_concat(r.rtoks, c.ctoks))) AS score
+  FROM refs r JOIN catalog c ON list_has_any(r.rtoks, c.ctoks)
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY p_partkey
+                               ORDER BY score DESC, ct, doi) AS rn
+  FROM cand
+),
+top3 AS (SELECT * FROM ranked WHERE rn <= 3),
+best AS (SELECT p_partkey, ct AS best_title, round(score, 4) AS best_score
+         FROM top3 WHERE rn = 1),
+hit AS (
+  SELECT p_partkey, doi, rn FROM (
+    SELECT p_partkey, doi, rn,
+           row_number() OVER (PARTITION BY p_partkey ORDER BY rn) AS pick
+    FROM top3 WHERE rt = ct) WHERE pick = 1
+)
+SELECT p.p_partkey,
+       coalesce(p.title, '') AS title,
+       coalesce(b.best_title, '') AS best_title,
+       coalesce(b.best_score, -1.0) AS best_score,
+       coalesce(h.doi, '') AS doi,
+       coalesce(CAST(h.rn AS INT), -1) AS matched_rank
+FROM parsed p
+LEFT JOIN best b ON p.p_partkey = b.p_partkey
+LEFT JOIN hit h ON p.p_partkey = h.p_partkey
+"""
+
+
 def q_edoc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S10/S11 EDocument JSON serde round-trip: docs' ``edoc_json`` parsed
     back with an explicit StructType (from_json) and re-projected.  The
@@ -2153,6 +2311,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
     "ann_topk_pruned": (q_ann_topk_pruned, SQL_ANN_TOPK),
     "ref_enrichment": (q_ref_enrichment, SQL_REF_ENRICHMENT),
+    "ref_enrichment_ranked": (q_ref_enrichment_ranked, SQL_REF_ENRICHMENT_RANKED),
     "ivf_topk_pruned": (q_ivf_topk_pruned, SQL_IVF_TOPK),
     "ivf_topk": (q_ivf_topk, SQL_IVF_TOPK),
     "embedding_knn_pairs": (q_embedding_knn_pairs, SQL_EMBEDDING_KNN_PAIRS),
