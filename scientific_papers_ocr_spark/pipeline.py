@@ -219,6 +219,32 @@ def run_pipeline(
     # sizes are a conv_id-only columnar scan of a table this job already
     # materialised — the raw input is never re-scanned for planning stats
     # (the r2 pre-narrow probe cost an extra input scan+shuffle per run).
+    # Lineage is the COMMIT RECORD for resume: a bucket whose lineage row is
+    # durable is skipped wholesale on restart, so the lineage WRITE must be
+    # the last thing that happens — after docs and spans are on disk.  The
+    # lineage COMPUTE, however, only needs the already-committed turns
+    # table, so its scan+agg runs on a driver thread CONCURRENTLY with the
+    # docs/spans jobs (concurrent jobs from separate driver threads are a
+    # first-class Spark feature; the lineage scan is JVM-side columnar work
+    # that overlaps the Python-worker-bound assembly).  The collect is
+    # planning-sized — one row per bucket — and turns the end-of-job
+    # lineage step from a full scan+agg into a trivial 64-row write,
+    # removing a fixed serial component that does not shrink with cores.
+    import threading
+
+    lineage_out = lineage_rows(fresh_turns)
+    out_schema["lineage"] = lineage_out.schema
+    lineage_box: dict = {}
+
+    def _compute_lineage() -> None:
+        try:
+            lineage_box["rows"] = lineage_out.collect()
+        except Exception as e:  # noqa: BLE001 — re-raised on the main thread
+            lineage_box["err"] = e
+
+    lineage_thread = threading.Thread(target=_compute_lineage, daemon=True)
+    lineage_thread.start()
+
     docs_out = assemble(fresh_turns, _probe_big_ids(fresh_turns, skew_turn_threshold))
     out_schema["docs"] = docs_out.schema
     tsrc.write_partitioned(docs_out, os.path.join(output_dir, "docs"))
@@ -235,9 +261,12 @@ def run_pipeline(
     tsrc.write_partitioned(spans_out, os.path.join(output_dir, "spans"))
     lineage_path = os.path.join(output_dir, "lineage")
     mode = "append" if (resume and os.path.exists(lineage_path)) else "overwrite"
-    lineage_out = lineage_rows(fresh_turns)
-    out_schema["lineage"] = lineage_out.schema
-    lineage_out.write.mode(mode).parquet(lineage_path)
+    lineage_thread.join()
+    if "err" in lineage_box:
+        raise lineage_box["err"]
+    spark.createDataFrame(lineage_box["rows"], schema=out_schema["lineage"]).write.mode(
+        mode
+    ).parquet(lineage_path)
     # every output is committed; drop the skew-path planning caches so
     # repeated run_pipeline calls in a long-lived session don't accumulate
     # cached partitions in executor memory
