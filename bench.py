@@ -449,8 +449,14 @@ def main() -> None:
         # 0.76–0.79 for this same zero-exchange stage (r1/r2 drivers, and
         # a 2x-corpus control run this round) while 2→8 measures 0.825.
         # Both pairs' numbers land in BENCH/BASELINE.md.
+        # visits default 3 (6 reps per level, ABBABA): with 4 reps/level a
+        # single noisy-neighbour window depressing one level's best rep
+        # moves the measured efficiency by ±0.03 — observed straddling the
+        # 0.8 bar (0.798 vs 0.839 on back-to-back quiet runs).  Two extra
+        # session-visits cost ~2.5 min and make best-of robust to one bad
+        # host window per level.
         n_low = int(os.environ.get("BENCH_SCALE_N", "2"))
-        visits = int(os.environ.get("BENCH_SCALE_VISITS", "2"))
+        visits = int(os.environ.get("BENCH_SCALE_VISITS", "3"))
         reps = int(os.environ.get("BENCH_SCALE_REPS", "2"))
         nlow, nhigh = run_narrow_scaling_interleaved(
             n_low, n_low * 4, visits=visits, reps=reps
