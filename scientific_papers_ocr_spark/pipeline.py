@@ -197,6 +197,28 @@ def run_pipeline(
     # columnar table (column-pruned scan) instead of recomputing the
     # pandas-UDF pass per action.  On resume, dynamic partition overwrite
     # touches only the freshly processed buckets.
+    #
+    # The skew probe runs on a driver thread CONCURRENTLY with the narrow
+    # write: extract_turns emits exactly one row per input row, so per-conv
+    # counts over the (already anti-joined) input equal counts over the
+    # fresh turns — and the conv_id-only columnar input scan overlaps the
+    # Python-worker-bound narrow stage instead of adding a serial ~1s job
+    # between the turns write and assembly.  (The r3 objection to probing
+    # the input was that it ran SERIALLY before the narrow stage; overlapped
+    # it is hidden.)  The probe result is planning-sized: a broadcastable
+    # id set or None.
+    import threading
+
+    probe_box: dict = {}
+
+    def _compute_probe() -> None:
+        try:
+            probe_box["ids"] = _probe_big_ids(df, skew_turn_threshold)
+        except Exception as e:  # noqa: BLE001 — re-raised on the main thread
+            probe_box["err"] = e
+
+    probe_thread = threading.Thread(target=_compute_probe, daemon=True)
+    probe_thread.start()
     tsrc.write_partitioned(turns_out, os.path.join(output_dir, "turns"))
     # Explicit schemas on every read-back: a zero-row partitioned write emits
     # no data files (only _SUCCESS), and schema inference on such a directory
@@ -215,10 +237,6 @@ def run_pipeline(
 
     # assemble/lineage ONLY the buckets processed in this run — committed
     # buckets keep their existing docs/spans partitions and lineage rows.
-    # Skew probe runs HERE, on the just-committed turns parquet: conversation
-    # sizes are a conv_id-only columnar scan of a table this job already
-    # materialised — the raw input is never re-scanned for planning stats
-    # (the r2 pre-narrow probe cost an extra input scan+shuffle per run).
     # Lineage is the COMMIT RECORD for resume: a bucket whose lineage row is
     # durable is skipped wholesale on restart, so the lineage WRITE must be
     # the last thing that happens — after docs and spans are on disk.  The
@@ -230,8 +248,6 @@ def run_pipeline(
     # planning-sized — one row per bucket — and turns the end-of-job
     # lineage step from a full scan+agg into a trivial 64-row write,
     # removing a fixed serial component that does not shrink with cores.
-    import threading
-
     lineage_out = lineage_rows(fresh_turns)
     out_schema["lineage"] = lineage_out.schema
     lineage_box: dict = {}
@@ -245,7 +261,10 @@ def run_pipeline(
     lineage_thread = threading.Thread(target=_compute_lineage, daemon=True)
     lineage_thread.start()
 
-    docs_out = assemble(fresh_turns, _probe_big_ids(fresh_turns, skew_turn_threshold))
+    probe_thread.join()
+    if "err" in probe_box:
+        raise probe_box["err"]
+    docs_out = assemble(fresh_turns, probe_box["ids"])
     out_schema["docs"] = docs_out.schema
     tsrc.write_partitioned(docs_out, os.path.join(output_dir, "docs"))
     all_docs = spark.read.schema(out_schema["docs"]).parquet(
