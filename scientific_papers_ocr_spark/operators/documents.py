@@ -128,13 +128,24 @@ def assemble_documents_grouped(turns_out: DataFrame) -> DataFrame:
 def assemble_documents(turns_out: DataFrame, num_partitions: int | None = None) -> DataFrame:
     """Per-turn records → one document row per conversation.
 
-    Physical strategy: hash-repartition on ``conv_id`` +
+    Physical strategy: hash-repartition on ``bucket`` +
     ``sortWithinPartitions(conv_id, turn_idx)`` + ONE ``mapInPandas`` that
     walks each Arrow batch and splits conversations itself, carrying the
     trailing (possibly batch-straddling) conversation into the next batch.
     Same single shuffle as ``applyInPandas``, but per-conversation overhead
     drops from per-group protocol framing to a pandas slice — ~10x faster on
     small-conversation corpora (measured on the bench corpus).
+
+    The exchange key is ``bucket`` — a deterministic function of ``conv_id``
+    (``crc32(conv_id) % num_buckets``, see ``pipeline.add_bucket``) — so
+    conversations still land whole in one partition, and the output rows
+    leave the stage ALREADY clustered on the sink's partition key: the docs
+    (and downstream spans) partitioned writes need no second exchange
+    (``write_partitioned(..., clustered=True)``).  One partitioning serves
+    the shuffle, the sinks, and the resume protocol's commit granularity.
+    At scale the parallelism ceiling of the wide stage is ``num_buckets`` —
+    size it so a bucket is a few hundred MB (the same contract as any
+    bucketed table layout).
     """
     pruned = prune_for_assembly(turns_out)
 
@@ -180,9 +191,9 @@ def assemble_documents(turns_out: DataFrame, num_partitions: int | None = None) 
             yield emit(carry)
 
     arranged = (
-        pruned.repartition(num_partitions, "conv_id")
+        pruned.repartition(num_partitions, "bucket")
         if num_partitions
-        else pruned.repartition("conv_id")
+        else pruned.repartition("bucket")
     ).sortWithinPartitions("conv_id", "turn_idx")
     return arranged.mapInPandas(process, schema=schemas.DOCS_OUT)
 
@@ -198,12 +209,18 @@ def assemble_documents_from_input(
 
     Physical strategy: tag-union the input text rows (tag 0) with the small
     verdict rows (tag 1, repaired text or null), hash-repartition ONCE on
-    ``conv_id``, ``sortWithinPartitions(conv_id, turn_idx, tag)``, and merge
-    pairs inside the same batched carry pass as ``assemble_documents`` —
-    page bytes cross the exchange exactly once, and a join (which would
-    shuffle the text a second time for the join hash plus again for the
-    assembly partitioning) never happens.  This is a hand-rolled
-    shuffle-merge join exploiting that both sides share the partitioning key.
+    ``bucket`` (a deterministic function of ``conv_id`` — both sides carry
+    the same value by the ``add_bucket``/``extract_turns`` contract, so
+    conversations still co-locate whole), ``sortWithinPartitions(conv_id,
+    turn_idx, tag)``, and merge pairs inside the same batched carry pass as
+    ``assemble_documents`` — page bytes cross the exchange exactly once, and
+    a join (which would shuffle the text a second time for the join hash
+    plus again for the assembly partitioning) never happens.  This is a
+    hand-rolled shuffle-merge join exploiting that both sides share the
+    partitioning key, and the output leaves the stage clustered on the
+    sinks' partition key (``write_partitioned(..., clustered=True)``).
+
+    ``transcripts_df`` must carry the ``bucket`` column (``add_bucket``).
     """
     inputs = transcripts_df.select(
         "conv_id",
@@ -212,7 +229,7 @@ def assemble_documents_from_input(
         F.col("text").alias("page_text"),
         F.lit(None).cast("string").alias("status"),
         F.lit(None).cast("string").alias("meta_json"),
-        F.lit(None).cast("int").alias("bucket"),
+        F.col("bucket").cast("int").alias("bucket"),
     )
     verdicts = verdicts_df.select(
         "conv_id",
@@ -242,7 +259,7 @@ def assemble_documents_from_input(
                 if i == len(cids) or cids[i] != cids[lo]:
                     pages: list[str] = []
                     meta_cells: list = []
-                    bucket = 0
+                    bucket = int(buckets[lo]) if buckets[lo] is not None else 0
                     j = lo
                     while j < i:
                         if tags[j] == 0:
@@ -288,9 +305,9 @@ def assemble_documents_from_input(
             yield emit(carry)
 
     arranged = (
-        unioned.repartition(num_partitions, "conv_id")
+        unioned.repartition(num_partitions, "bucket")
         if num_partitions
-        else unioned.repartition("conv_id")
+        else unioned.repartition("bucket")
     ).sortWithinPartitions("conv_id", "turn_idx", "tag")
     return arranged.mapInPandas(process, schema=schemas.DOCS_OUT)
 

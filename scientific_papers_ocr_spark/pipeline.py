@@ -112,6 +112,7 @@ def run_pipeline(
     resume: bool = False,
     skew_turn_threshold: int | None = 32768,
     store_page_text: str = "always",
+    input_bucket_aligned: bool = False,
 ) -> dict[str, DataFrame]:
     """Run the full pipeline; when ``output_dir`` is set, materialise the
     turns/docs/spans/lineage tables there (partitioned by bucket) and, with
@@ -144,6 +145,22 @@ def run_pipeline(
     a pass; materialising deployments (and the graded bench) should pass
     ``"repaired_only"``, which is the 100 TB layout.  The two modes are
     byte-identical on every output (tests/test_storage_modes.py).
+
+    One-partitioning topology: the assembly exchange key is ``bucket``
+    (a deterministic function of ``conv_id``), so the docs frame leaves the
+    wide stage already clustered on the sink's partition key and the docs
+    and spans partitioned writes run shuffle-free
+    (``write_partitioned(..., clustered=True)``; the spans input is a scan
+    of the bucket-partitioned docs table, clustered by construction).
+
+    ``input_bucket_aligned=True``: the caller asserts ``transcripts_df`` is
+    a scan of a table partitioned/bucketed on this same ``bucket`` key (the
+    documented production ingest layout, ``sources/transcripts.py``) — each
+    input split then holds rows of only a few distinct buckets, and the
+    TURNS write skips its pre-write exchange too, making the narrow stage
+    write shuffle-free end-to-end.  Leave False for arbitrary input
+    layouts; correctness is identical either way (only file clustering of
+    the turns table changes).
     """
     if store_page_text not in ("always", "repaired_only"):
         raise ValueError(f"unknown store_page_text mode: {store_page_text}")
@@ -226,7 +243,9 @@ def run_pipeline(
 
     probe_thread = threading.Thread(target=_compute_probe, daemon=True)
     probe_thread.start()
-    tsrc.write_partitioned(turns_out, os.path.join(output_dir, "turns"))
+    tsrc.write_partitioned(
+        turns_out, os.path.join(output_dir, "turns"), clustered=input_bucket_aligned
+    )
     # Explicit schemas on every read-back: a zero-row partitioned write emits
     # no data files (only _SUCCESS), and schema inference on such a directory
     # raises UNABLE_TO_INFER_SCHEMA — an empty input must flow through to an
@@ -273,7 +292,7 @@ def run_pipeline(
         raise probe_box["err"]
     docs_out = assemble(fresh_turns, probe_box["ids"])
     out_schema["docs"] = docs_out.schema
-    tsrc.write_partitioned(docs_out, os.path.join(output_dir, "docs"))
+    tsrc.write_partitioned(docs_out, os.path.join(output_dir, "docs"), clustered=True)
     all_docs = spark.read.schema(out_schema["docs"]).parquet(
         os.path.join(output_dir, "docs")
     )
@@ -284,7 +303,7 @@ def run_pipeline(
     )
     spans_out = documents.explode_spans(fresh_docs)
     out_schema["spans"] = spans_out.schema
-    tsrc.write_partitioned(spans_out, os.path.join(output_dir, "spans"))
+    tsrc.write_partitioned(spans_out, os.path.join(output_dir, "spans"), clustered=True)
     lineage_path = os.path.join(output_dir, "lineage")
     mode = "append" if (resume and os.path.exists(lineage_path)) else "overwrite"
     lineage_thread.join()
