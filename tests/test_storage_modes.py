@@ -55,7 +55,7 @@ def test_repaired_only_single_exchange(spark, corpus):
         store_page_text="repaired_only",
     )["docs"]
     plan = docs._jdf.queryExecution().executedPlan().toString()
-    # tag-union then ONE hash exchange on conv_id — a join would add a second
+    # tag-union then ONE hash exchange on bucket — a join would add a second
     assert plan.count("Exchange hashpartitioning") == 1, plan
 
 
@@ -110,3 +110,70 @@ def test_repaired_only_with_skew_routing_matches_default(spark):
     got = {r["conv_id"]: (r["transcription"], r["n_turns"]) for r in routed.collect()}
     want = {r["conv_id"]: (r["transcription"], r["n_turns"]) for r in default.collect()}
     assert got == want
+
+
+def test_bucket_aligned_input_matches_unaligned(spark, corpus, tmp_path_factory):
+    """input_bucket_aligned=True — the bucket-partitioned ingest layout with
+    fully shuffle-free partitioned sinks (one-partitioning topology) — must
+    produce tables identical to the unaligned path, and resume must still
+    converge after a dropped bucket commit."""
+    import os
+    import shutil
+
+    src = str(tmp_path_factory.mktemp("aligned_src"))
+    (
+        pipeline.add_bucket(corpus, 8)
+        .repartitionByRange(4, "bucket", "conv_id")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(src)
+    )
+    aligned_df = spark.read.parquet(src)
+
+    out_a = str(tmp_path_factory.mktemp("aligned_out"))
+    out_p = str(tmp_path_factory.mktemp("plain_out"))
+    aligned = pipeline.run_pipeline(
+        spark, aligned_df, output_dir=out_a, num_buckets=8,
+        store_page_text="repaired_only", input_bucket_aligned=True,
+    )
+    plain = pipeline.run_pipeline(
+        spark, corpus, output_dir=out_p, num_buckets=8,
+        store_page_text="repaired_only",
+    )
+
+    def doc_map(out):
+        return {
+            r["conv_id"]: (r["transcription"], r["edoc_json"], r["bucket"])
+            for r in out["docs"].collect()
+        }
+
+    def span_set(out):
+        return sorted(
+            (r["conv_id"], r["span_idx"], r["span_type"], r["title"])
+            for r in out["spans"].collect()
+        )
+
+    assert doc_map(aligned) == doc_map(plain)
+    assert span_set(aligned) == span_set(plain)
+    # every turns data file must live under its bucket=N directory
+    # (partition-overwrite commit granularity is preserved without the
+    # pre-write exchange)
+    for root, _dirs, files in os.walk(os.path.join(out_a, "turns")):
+        for f in files:
+            if f.endswith(".parquet"):
+                assert "bucket=" in root, os.path.join(root, f)
+
+    # resume on the aligned path: drop one bucket's lineage and rerun
+    want = doc_map(aligned)
+    lineage = spark.read.parquet(os.path.join(out_a, "lineage"))
+    victim = lineage.select("bucket").first()["bucket"]
+    tmp_lineage = os.path.join(out_a, "lineage_tmp")
+    lineage.where(F.col("bucket") != victim).write.mode("overwrite").parquet(tmp_lineage)
+    shutil.rmtree(os.path.join(out_a, "lineage"))
+    os.rename(tmp_lineage, os.path.join(out_a, "lineage"))
+    resumed = pipeline.run_pipeline(
+        spark, aligned_df, output_dir=out_a, num_buckets=8,
+        store_page_text="repaired_only", input_bucket_aligned=True, resume=True,
+    )
+    assert doc_map(resumed) == want
+    assert resumed["lineage"].select("bucket").distinct().count() == 8
