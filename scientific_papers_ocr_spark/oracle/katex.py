@@ -8,6 +8,9 @@ from __future__ import annotations
 import re
 
 _BIG_KEYWORDS = ("big", "Big", "bigg", "Bigg")
+_BIG_RES = tuple(
+    (re.compile(rf"\\{kw}{{(.*?)}}"), rf"\\{kw} \1") for kw in _BIG_KEYWORDS
+)
 
 _LEFT_RE = re.compile(r"\\left([(\[{|.\\])")
 _RIGHT_RE = re.compile(r"\\right([)\]}|.\\])")
@@ -18,13 +21,22 @@ def normalize_katex(text: str) -> str:
     ``\\right`` by appending ``\\right.`` / prepending ``\\left.``.
 
     Reference: mathpix_to_katex.py:7-35 (``parse``).
+
+    Substring pre-checks gate the regex passes: every ``\\big{``-family
+    match ends its keyword with the literal ``g{`` (``\\big{`` ... ``\\Bigg{``)
+    and the balance patterns contain ``\\left`` / ``\\right``, so absence of
+    the substring is absence of any match — equations without those
+    constructs (the overwhelming case) cost two C-level ``in`` tests instead
+    of four subs and two findalls.
     """
-    for kw in _BIG_KEYWORDS:
-        text = re.sub(rf"\\{kw}{{(.*?)}}", rf"\\{kw} \1", text)
-    n_left = len(_LEFT_RE.findall(text))
-    n_right = len(_RIGHT_RE.findall(text))
-    if n_left > n_right:
-        text += "\\right." * (n_left - n_right)
-    if n_right > n_left:
-        text = "\\left." * (n_right - n_left) + text
+    if "g{" in text:
+        for big_re, repl in _BIG_RES:
+            text = big_re.sub(repl, text)
+    if "\\left" in text or "\\right" in text:
+        n_left = len(_LEFT_RE.findall(text))
+        n_right = len(_RIGHT_RE.findall(text))
+        if n_left > n_right:
+            text += "\\right." * (n_left - n_right)
+        if n_right > n_left:
+            text = "\\left." * (n_right - n_left) + text
     return text

@@ -69,9 +69,18 @@ def is_sentinel_page(text: str) -> bool:
     return bool(_SENTINEL_RE.match(text or ""))
 
 
+_SENTINEL_KIND_RE = re.compile(r"^\s*\[MISSING_PAGE_(EMPTY|FAIL):(\d+)\]\s*$")
+
+
 def sentinel_kind(text: str) -> str | None:
-    """Return ``"empty"`` / ``"fail"`` for sentinel pages, else ``None``."""
-    m = re.match(r"^\s*\[MISSING_PAGE_(EMPTY|FAIL):(\d+)\]\s*$", text or "")
+    """Return ``"empty"`` / ``"fail"`` for sentinel pages, else ``None``.
+
+    The pattern requires the literal ``[MISSING_PAGE_`` — a substring
+    pre-check skips the regex for every ordinary page (this runs once per
+    turn in the narrow kernel's hot path)."""
+    if not text or "[MISSING_PAGE_" not in text:
+        return None
+    m = _SENTINEL_KIND_RE.match(text)
     if not m:
         return None
     return m.group(1).lower()
