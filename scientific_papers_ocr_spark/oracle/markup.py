@@ -165,6 +165,11 @@ def split_markdown_into_blocks(
     # unchanged from the two-pass dict form
     raw_blocks: list[tuple[str, str]] = []
     for paragraph in markdown.split("\n\n"):
+        # inlined math_block_positions pre-check: paragraphs without either
+        # two-char delimiter (the overwhelming case) skip the call entirely
+        if "\\[" not in paragraph and "\\]" not in paragraph:
+            raw_blocks.append((TEXT, paragraph))
+            continue
         opens, closes = math_block_positions(paragraph)
         if opens is None and closes is None:
             raw_blocks.append((TEXT, paragraph))
