@@ -37,12 +37,29 @@ def _process_batch(
     }
     if with_blocks:
         out["blocks"] = []
+    # bind the output lists (and hot callees) to locals: the loop below runs
+    # once per turn and the dict-lookup + attribute-lookup overhead is
+    # measurable at the narrow stage's throughput
+    conv_ids = out["conv_id"].append
+    turn_idxs = out["turn_idx"].append
+    page_texts = out["page_text"].append
+    clean_texts = out["clean_text"].append
+    statuses = out["status"].append
+    n_blocks_l = out["n_blocks"].append
+    n_incomplete_l = out["n_incomplete_blocks"].append
+    min_scores = out["min_score"].append
+    meta_jsons = out["meta_json"].append
+    blocks_l = out["blocks"].append if with_blocks else None
+    score_turn = assembly.score_turn
+    split_blocks = markup.split_markdown_into_blocks
+    render_clean = markup.render_clean_text
+    emit_always = page_text_mode == "always"
     for conv_id, turn_idx, text, tool in zip(
         pdf["conv_id"], pdf["turn_idx"], pdf["text"], pdf["tool"]
     ):
         text = text or ""
         tool = tool or ""
-        verdict = assembly.score_turn(text, tool)
+        verdict = score_turn(text, tool)
         page_text = text
         repaired = False
         if verdict["status"] == "incomplete":
@@ -50,27 +67,25 @@ def _process_batch(
             if parts is not None:
                 page_text = assembly.flatten_parts(parts)
                 repaired = True
-        blocks = markup.split_markdown_into_blocks(page_text)
+        blocks = split_blocks(page_text)
         # render from the blocks already computed — clean_turn_text(page_text)
         # would re-split the same page (was ~2x the split cost per turn)
-        clean = markup.render_clean_text(blocks) if with_clean_text else None
+        clean = render_clean(blocks) if with_clean_text else None
         scores = verdict["scores"]
         meta = assembly.extract_turn_meta(tool) if turn_idx == 0 else None
-        out["conv_id"].append(conv_id)
-        out["turn_idx"].append(turn_idx)
-        out["page_text"].append(
-            page_text if (page_text_mode == "always" or repaired) else None
-        )
-        out["clean_text"].append(clean)
-        out["status"].append(verdict["status"])
-        out["n_blocks"].append(len(blocks))
-        out["n_incomplete_blocks"].append(len(verdict["incomplete_blocks"]))
-        out["min_score"].append(min(scores.values()) if scores else None)
-        if with_blocks:
-            out["blocks"].append(
+        conv_ids(conv_id)
+        turn_idxs(turn_idx)
+        page_texts(page_text if (emit_always or repaired) else None)
+        clean_texts(clean)
+        statuses(verdict["status"])
+        n_blocks_l(len(blocks))
+        n_incomplete_l(len(verdict["incomplete_blocks"]))
+        min_scores(min(scores.values()) if scores else None)
+        if blocks_l is not None:
+            blocks_l(
                 [{"block_type": b["type"], "content": b["content"]} for b in blocks]
             )
-        out["meta_json"].append(json.dumps(meta) if meta is not None else None)
+        meta_jsons(json.dumps(meta) if meta is not None else None)
     columns = list(out.keys())
     if with_blocks:  # schema order: blocks before meta_json
         columns = [c for c in columns if c not in ("blocks", "meta_json")] + [

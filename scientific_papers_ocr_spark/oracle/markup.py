@@ -16,6 +16,7 @@ import re
 from typing import Optional
 
 from .katex import normalize_katex
+from .textnorm import squash_newlines
 
 # Block types. Reference: notion_interface/basics/constants.py:36-46.
 TEXT = "text"
@@ -163,6 +164,32 @@ def split_markdown_into_blocks(
     # only materialized for emitted blocks (this function is the second-
     # hottest frame of the narrow stage); logic and emitted values are
     # unchanged from the two-pass dict form
+    if "\\[" not in markdown and "\\]" not in markdown:
+        # page-level fast path: no display-math delimiter anywhere, so every
+        # paragraph is a TEXT block and the math/katex machinery is dead —
+        # emit directly without staging (type, content) tuples.  Blank-block
+        # semantics: `not p or p.isspace()` ⟺ `p.strip() == ""` (both are
+        # Unicode-whitespace tests), allocation-free.
+        if max_len_block is None:
+            return [
+                _classified_block(TEXT, p)
+                for p in markdown.split("\n\n")
+                if p and not p.isspace()
+            ]
+        fast_out: list[dict] = []
+        for p in markdown.split("\n\n"):
+            if not p or p.isspace():
+                continue
+            if len(p) > max_len_block:
+                fast_out.extend(
+                    _classified_block(TEXT, t)
+                    for t in chunk_text(p, max_len_block)
+                    if t != ""
+                )
+            else:
+                fast_out.append(_classified_block(TEXT, p))
+        return fast_out
+
     raw_blocks: list[tuple[str, str]] = []
     for paragraph in markdown.split("\n\n"):
         # inlined math_block_positions pre-check: paragraphs without either
@@ -206,7 +233,7 @@ def _classified_block(btype: str, content: str) -> dict:
     """Build the emitted block dict, classifying ``#`` headers for TEXT
     blocks (### before ## before #) — the single home of the header contract
     for both the chunked and unchunked emit paths."""
-    if btype == TEXT and content.startswith("#"):
+    if btype == TEXT and content and content[0] == "#":
         if content.startswith("###"):
             return {"type": HEADER3, "content": content[3:].strip()}
         if content.startswith("##"):
@@ -313,8 +340,6 @@ def render_clean_text(blocks: list[dict]) -> str:
     already-computed block list — the narrow stage needs both the blocks and
     the cleaned text, and re-splitting the page for each was its single
     largest avoidable cost."""
-    from .textnorm import squash_newlines
-
     prefix = _HEADER_PREFIX
     rendered: list[str] = []
     for block in blocks:
