@@ -8,8 +8,14 @@ from __future__ import annotations
 import re
 
 _BIG_KEYWORDS = ("big", "Big", "bigg", "Bigg")
+# (needle, pattern, replacement): every match of \<kw>{...} contains the
+# literal "<kw>{", and no keyword's needle occurs inside another keyword's
+# match ("\bigg{" does not contain "big{"), so a per-keyword substring test
+# is a sound gate for each sub — a false hit (needle without backslash)
+# only costs a no-op sub.
 _BIG_RES = tuple(
-    (re.compile(rf"\\{kw}{{(.*?)}}"), rf"\\{kw} \1") for kw in _BIG_KEYWORDS
+    (f"{kw}{{", re.compile(rf"\\{kw}{{(.*?)}}"), rf"\\{kw} \1")
+    for kw in _BIG_KEYWORDS
 )
 
 _LEFT_RE = re.compile(r"\\left([(\[{|.\\])")
@@ -30,8 +36,9 @@ def normalize_katex(text: str) -> str:
     of four subs and two findalls.
     """
     if "g{" in text:
-        for big_re, repl in _BIG_RES:
-            text = big_re.sub(repl, text)
+        for needle, big_re, repl in _BIG_RES:
+            if needle in text:
+                text = big_re.sub(repl, text)
     if "\\left" in text or "\\right" in text:
         n_left = len(_LEFT_RE.findall(text))
         n_right = len(_RIGHT_RE.findall(text))
