@@ -72,8 +72,15 @@ def find_abstract_start(pages: list[str]) -> Optional[dict]:
     lower-case).  Reference: elaborate_single_mmd_scientific.py:578-591.
     """
     names = keyname_variations("Abstract") + keyname_variations("abstract")
+    # every variation contains the substring "bstract" (prefix + "Abstract"
+    # or "_abstract..."), so pages without it cannot match ANY variation —
+    # one scan per page replaces a scan per (variation, page) pair.  The
+    # variation-major priority order is preserved over the candidate pages.
+    candidates = [(i, p) for i, p in enumerate(pages) if "bstract" in p]
+    if not candidates:
+        return None
     for name in names:
-        for page_number, page in enumerate(pages):
+        for page_number, page in candidates:
             if name in page:
                 return {
                     "page_number": page_number,
@@ -92,11 +99,21 @@ def find_references_start(pages: list[str]) -> Optional[dict]:
     pattern requires the literal keyname to occur case-insensitively).
     """
     lowered = [p.lower() for p in pages]
+    # every variation's lower-cased needle contains "references", so pages
+    # without that substring cannot match ANY variation — scan once per page
+    # (reverse order preserved) instead of once per (variation, page) pair.
+    candidates = [
+        (i, lowered[i])
+        for i in range(len(pages) - 1, -1, -1)
+        if "references" in lowered[i]
+    ]
+    if not candidates:
+        return None
     for name in keyname_variations("References"):
         rx = _title_pattern(name)
         needle = name.lower()
-        for page_number in range(len(pages) - 1, -1, -1):
-            if needle not in lowered[page_number]:
+        for page_number, low in candidates:
+            if needle not in low:
                 continue
             m = rx.search(pages[page_number])
             if m is not None:
