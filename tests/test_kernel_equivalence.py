@@ -33,7 +33,7 @@ import pytest
 
 from scientific_papers_ocr_spark import fixtures
 from scientific_papers_ocr_spark.operators import fastjson
-from scientific_papers_ocr_spark.oracle import markup, probes, textnorm
+from scientific_papers_ocr_spark.oracle import markup, probes, segmentation, textnorm
 
 GOLDEN = {
     "split_markdown_into_blocks": "c7011c755804cabc2ee56695d208cece",
@@ -41,6 +41,7 @@ GOLDEN = {
     "probe_sentences": "1dfaba1634cb72f870eb7a912473fcd0",
     "squash_newlines": "02b43520fbfd46ee39432127b98baa31",
     "dumps_indent4": "dee71d52a8c333f64d3d0beced9b226d",
+    "segment_document": "d2c62b4a37805126d0ed7a26e5c8cb57",
     "corpus_signature": "1bfbc4a74cacc553b917f84eef993e9c",
 }
 
@@ -94,6 +95,23 @@ def _sweep_texts() -> list[str]:
     texts = _corpus_texts() + _adversarial_texts(750)
     assert len(texts) >= 1000, f"sweep must cover >=1k texts, got {len(texts)}"
     return texts
+
+
+def _page_lists() -> list[list[str]]:
+    """Deterministic page-lists over the sweep corpus for the per-document
+    segmentation kernel (abstract/references keyname scans, section
+    positions) — grouped with varied lengths so candidate-page prefilters
+    see single-page and many-page documents.  No empty list: a document is
+    a groupBy(conv_id) group, so it always has >=1 page."""
+    texts = _sweep_texts()
+    rng = random.Random(17)
+    lists: list[list[str]] = []
+    i = 0
+    while i < len(texts):
+        k = rng.randint(1, 8)
+        lists.append(texts[i : i + k])
+        i += k
+    return lists
 
 
 def _digest(outputs) -> str:
@@ -174,6 +192,18 @@ def test_squash_newlines_matches_golden():
 
 
 @pytest.mark.slow
+def test_segment_document_matches_golden():
+    """Pins the whole per-document segmentation (find_abstract_start /
+    find_references_start candidate-page prefilters, section extraction,
+    reference-entry parsing) — the r5 assembly-kernel optimizations live
+    here."""
+    lists = _page_lists()
+    assert _digest(segmentation.segment_document(p) for p in lists) == (
+        GOLDEN["segment_document"]
+    )
+
+
+@pytest.mark.slow
 def test_dumps_indent4_differential_and_golden():
     """stdlib json IS the spec: byte-for-byte equality on every object, not
     just a digest — plus the digest pin for cross-round stability."""
@@ -193,6 +223,7 @@ def _print_current_digests() -> None:
     print(f'    "probe_sentences": "{_digest(probes.probe_sentences(t) for t in texts)}",')
     print(f'    "squash_newlines": "{_digest(textnorm.squash_newlines(t) for t in texts)}",')
     print(f'    "dumps_indent4": "{_digest(fastjson.dumps_indent4(o) for o in _json_objects(1000))}",')
+    print(f'    "segment_document": "{_digest(segmentation.segment_document(p) for p in _page_lists())}",')
     print(f'    "corpus_signature": "{_digest(texts)}",')
 
 
