@@ -220,3 +220,77 @@ def test_bad_word_regex_substring_equivalence(word):
     from scientific_papers_ocr_spark.oracle.probes import _BAD_WORD_RE
 
     assert bool(_BAD_WORD_RE.search(word)) == ("mth" in word or "nth" in word)
+
+
+# page-text-ish strategy for the keyname-scan equivalences: biased toward
+# the substrings the r5 candidate-page prefilters key on
+_KEYNAMEISH = st.text(
+    alphabet=string.ascii_letters + " \n#_:-" + "bstrace",
+    max_size=60,
+).map(lambda s: s.replace("bst", "bstract" if len(s) % 2 else "bst"))
+_PAGEISH = st.lists(
+    st.one_of(
+        _KEYNAMEISH,
+        st.sampled_from(
+            [
+                "# Abstract", "##Abstract", "_abstract_", "_Abstract:_",
+                "_Abstract--_", "bstract", "Abstrac", "ABSTRACT",
+                "# References", "##References", "_references_",
+                "_References:_", "_REFERENCES--_", "ReFeReNcEs",
+                "references:", "Reference", "\n## References\n\n", "",
+            ]
+        ),
+    ),
+    max_size=8,
+)
+
+
+@settings(max_examples=500, deadline=None)
+@given(_PAGEISH)
+def test_find_abstract_start_prefilter_equivalence(pages):
+    """find_abstract_start's candidate-page prefilter ('bstract' substring)
+    must be observationally identical to the naive variation-major scan it
+    replaced (reference: elaborate_single_mmd_scientific.py:578-591)."""
+    names = segmentation.keyname_variations("Abstract") + (
+        segmentation.keyname_variations("abstract")
+    )
+
+    def naive(ps):
+        for name in names:
+            for page_number, page in enumerate(ps):
+                if name in page:
+                    return {
+                        "page_number": page_number,
+                        "key_name": name,
+                        "match_pos": page.find(name),
+                    }
+        return None
+
+    assert segmentation.find_abstract_start(pages) == naive(pages)
+
+
+@settings(max_examples=500, deadline=None)
+@given(_PAGEISH)
+def test_find_references_start_prefilter_equivalence(pages):
+    """Same for find_references_start ('references' in the lowered page;
+    reverse page order preserved).  Reference:
+    elaborate_single_mmd_scientific.py:563-576."""
+
+    def naive(ps):
+        lowered = [p.lower() for p in ps]
+        for name in segmentation.keyname_variations("References"):
+            rx = segmentation._title_pattern(name)
+            needle = name.lower()
+            for page_number in range(len(ps) - 1, -1, -1):
+                if needle not in lowered[page_number]:
+                    continue
+                m = rx.search(ps[page_number])
+                if m is not None:
+                    return {
+                        "page_number": page_number,
+                        "key_name": name,
+                        "match_pos": m.start(),
+                    }
+        return None
+
+    assert segmentation.find_references_start(pages) == naive(pages)
