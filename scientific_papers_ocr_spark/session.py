@@ -79,6 +79,17 @@ def build_session(
         # multiple waves in flight (64MB splits ≈ 4 tasks/core on the bench
         # corpus); on a real cluster this is the default parquet split size
         .config("spark.sql.files.maxPartitionBytes", "64m")
+        # floor scan parallelism at 4 waves per core: a scan whose byte-based
+        # split count lands just above a small multiple of the core count
+        # (e.g. 19 splits on 8 cores) schedules as mostly-idle final waves —
+        # measured 22% of narrow-stage wall at local[8] lost to that wave
+        # quantization (10.31s → 7.99s with 32 splits).  The floor is derived
+        # from the session's core count, so it scales with the cluster and is
+        # inert at lake scale where byte-based split counts dominate anyway.
+        .config(
+            "spark.sql.files.minPartitionNum",
+            os.environ.get("SPARK_GRAFT_MIN_SCAN_PARTITIONS", str(cores * 4)),
+        )
         # zstd: measured identical write wall-time vs snappy on this host but
         # ~30% smaller output (973MB vs 1374MB on the bench pipeline) — at
         # lake scale that is 30% less stored and downstream-scanned bytes
