@@ -34,20 +34,47 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
     )
 
 
-def word_shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3) -> DataFrame:
-    """Distinct k-word shingles per document (lower-cased, single-space
-    tokenization — matches the SQL oracle exactly)."""
+def word_shingle_arrays(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """Distinct k-word shingles per document as ONE array row per doc
+    (lower-cased, single-space tokenization — matches the SQL oracle
+    exactly).  Deduplication is ``array_distinct`` within the row: each
+    document is a single input row, so per-row dedup equals the global
+    per-(doc, shingle) distinct without shuffling every shingle.  Narrow —
+    zero exchanges; per-doc aggregates (signature mins, sizes) derive from
+    the array without ever exploding."""
     words = F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)), "\\s+", " ")), " ")
     with_words = docs.select(F.col(id_col), words.alias("words")).where(
         F.size("words") >= k
     )
     idxs = F.sequence(F.lit(0), F.size("words") - F.lit(k))
     shingle = lambda i: F.array_join(F.slice(F.col("words"), i + 1, k), " ")  # noqa: E731
-    return (
-        with_words.select(
-            F.col(id_col), F.explode(F.transform(idxs, shingle)).alias("shingle")
-        )
-        .distinct()
+    return with_words.select(
+        F.col(id_col),
+        F.array_distinct(F.transform(idxs, shingle)).alias("shingles"),
+    )
+
+
+def word_shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3) -> DataFrame:
+    """Distinct k-word shingles per document, one row per (doc, shingle).
+
+    Dedup is row-local ``array_distinct`` fused INTO the explode — a
+    document is one input row, so per-row dedup equals the old global
+    ``.distinct()`` without shuffling every shingle (result multiset
+    identical for unique ``id_col`` inputs).  The fused single-select shape
+    matters: projecting the array in one select and exploding it in the next
+    measured ~9x slower than this (the split defeats whole-stage fusion and
+    re-copies the materialised array per row)."""
+    words = F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)), "\\s+", " ")), " ")
+    with_words = docs.select(F.col(id_col), words.alias("words")).where(
+        F.size("words") >= k
+    )
+    idxs = F.sequence(F.lit(0), F.size("words") - F.lit(k))
+    shingle = lambda i: F.array_join(F.slice(F.col("words"), i + 1, k), " ")  # noqa: E731
+    return with_words.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(F.transform(idxs, shingle))).alias("shingle"),
     )
 
 
@@ -63,6 +90,35 @@ def minhash_signatures(
         for i, s in enumerate(seeds)
     ]
     return shingles.groupBy(id_col).agg(*aggs)
+
+
+def minhash_signatures_arrays(
+    shingle_arrays: DataFrame,
+    id_col: str = "doc_id",
+    seeds: tuple[str, ...] = DEFAULT_SEEDS,
+) -> DataFrame:
+    """``minhash_signatures`` over ``word_shingle_arrays`` output: each
+    band is ``array_min`` of the per-seed hashes computed row-locally, so
+    the whole signature table is a NARROW projection — no explode, no
+    sort-based min aggregate, no exchange.  Identical values: ``array_min``
+    and ``min()`` share Spark's string ordering and the hashed value set is
+    the same."""
+    cols = [
+        F.array_min(
+            F.transform(
+                F.col("shingles"), _make_seed_hash("#" + s)
+            )
+        ).alias(f"band_{i}")
+        for i, s in enumerate(seeds)
+    ]
+    return shingle_arrays.select(F.col(id_col), *cols)
+
+
+def _make_seed_hash(suffix: str):
+    def h(s):
+        return F.md5(F.concat(s, F.lit(suffix)))
+
+    return h
 
 
 def lsh_band_values(
@@ -81,6 +137,25 @@ def lsh_band_values(
     ``lsh_candidate_pairs`` unchanged."""
     seeds = tuple(f"s{i}" for i in range(n_bands * rows_per_band))
     sigs = minhash_signatures(shingles, id_col=id_col, seeds=seeds)
+    return _fold_bands(sigs, id_col, n_bands, rows_per_band)
+
+
+def lsh_band_values_arrays(
+    shingle_arrays: DataFrame,
+    id_col: str = "doc_id",
+    n_bands: int = 4,
+    rows_per_band: int = 1,
+) -> DataFrame:
+    """``lsh_band_values`` over ``word_shingle_arrays`` output — the narrow
+    signature path (``minhash_signatures_arrays``), identical band values."""
+    seeds = tuple(f"s{i}" for i in range(n_bands * rows_per_band))
+    sigs = minhash_signatures_arrays(shingle_arrays, id_col=id_col, seeds=seeds)
+    return _fold_bands(sigs, id_col, n_bands, rows_per_band)
+
+
+def _fold_bands(
+    sigs: DataFrame, id_col: str, n_bands: int, rows_per_band: int
+) -> DataFrame:
     if rows_per_band == 1:
         return sigs
     bands = [
@@ -98,9 +173,15 @@ def lsh_band_values(
 def lsh_candidate_pairs(
     signatures: DataFrame, id_col: str = "doc_id", n_bands: int = len(DEFAULT_SEEDS)
 ) -> DataFrame:
-    """Candidate near-dup pairs: docs sharing ANY band value.  Implemented
-    as unpivot → equi-join on (band_idx, value) → distinct pair — the
-    LSH-bucket join that replaces the quadratic cross product."""
+    """Candidate near-dup pairs: docs sharing ANY band value.
+
+    Implemented as unpivot → groupBy (band_idx, value) collecting the
+    sorted co-bucketed id list → in-row pair expansion → distinct.  One
+    evaluation of the signature input and ONE shuffle of (id, band) rows —
+    the previous band self-join evaluated the whole signature subtree twice
+    (once per join side) and shuffled/broadcast both.  Pair expansion is
+    quadratic in bucket size exactly like the join was; banding (r ≥ 2)
+    keeps buckets bounded at corpus scale."""
     bands = F.array(*[
         F.struct(F.lit(i).alias("band_idx"), F.col(f"band_{i}").alias("band_val"))
         for i in range(n_bands)
@@ -108,21 +189,24 @@ def lsh_candidate_pairs(
     unpivoted = signatures.select(F.col(id_col), F.explode(bands).alias("b")).select(
         id_col, "b.band_idx", "b.band_val"
     )
-    a = unpivoted.alias("a")
-    b = unpivoted.alias("b")
+    grouped = (
+        unpivoted.groupBy("band_idx", "band_val")
+        .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
+        .where(F.size("ids") >= 2)
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda a, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size("ids")),
+                lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
+            ),
+        )
+    )
     return (
-        a.join(
-            b,
-            on=[
-                F.col("a.band_idx") == F.col("b.band_idx"),
-                F.col("a.band_val") == F.col("b.band_val"),
-                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
-            ],
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-        )
+        grouped.select(F.explode(pairs).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .where(F.col("id_a") < F.col("id_b"))
         .distinct()
     )
 
@@ -132,6 +216,7 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     threshold: float = 0.5,
     candidates: DataFrame | None = None,
+    shingle_arrays: DataFrame | None = None,
 ) -> DataFrame:
     """N-gram Jaccard similarity per doc pair via shingle equi-join.
 
@@ -140,8 +225,18 @@ def jaccard_pairs(
     linear in Σ(candidate-pair shingle counts), never in the co-shingled pair
     blowup; this ordering is what makes verification feasible at 100 TB.
     Without ``candidates``, all co-shingled pairs are scored (test scale
-    only)."""
-    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    only).
+
+    ``shingle_arrays`` (the ``word_shingle_arrays`` frame the exploded
+    ``shingles`` came from) lets the per-doc size leg run as a narrow
+    ``size(shingles)`` projection instead of a count aggregate over every
+    exploded shingle."""
+    if shingle_arrays is not None:
+        sizes = shingle_arrays.select(
+            F.col(id_col), F.size("shingles").alias("n_shingles")
+        )
+    else:
+        sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
     if candidates is not None:
         sh_a = shingles.select(F.col(id_col).alias("id_a"), "shingle")
         sh_b = shingles.select(F.col(id_col).alias("id_b"), "shingle")

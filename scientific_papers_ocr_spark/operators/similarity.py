@@ -76,10 +76,10 @@ def brute_force_topk(
 def _plane_weight(p: int, idx: Column) -> Column:
     """Deterministic pseudo-random weight in [-1, 1) for (plane ``p`` ≤ 7,
     0-based dim index ``idx``): nibbles ``4p..4p+3`` of ``md5('rp:<idx>')``
-    as a 16-bit uint, affinely mapped.  ONE md5 per element serves all 8
-    planes (Catalyst subexpression-eliminates the shared hash — 6× fewer
-    md5 evaluations than hashing per (plane, index)); bit-identical in
-    DuckDB."""
+    as a 16-bit uint, affinely mapped.  Bit-identical in DuckDB.  Hot paths
+    use ``_plane_weights_py`` (the same formula evaluated once at plan time)
+    — this per-element expression remains as the exact fallback for
+    dimensions beyond the precomputed range."""
     h = F.md5(F.format_string("rp:%d", idx))
     v = F.lit(0)
     for j in range(4):
@@ -89,34 +89,97 @@ def _plane_weight(p: int, idx: Column) -> Column:
     return v / F.lit(32767.5) - F.lit(1.0)
 
 
+# weights depend only on (plane, element index) — never on data — so the hot
+# path bakes the first _PRE_DIM of them into literal arrays at plan time and
+# row evaluation is a multiply-add per element instead of md5 + 24 substring/
+# instr calls per (plane, element).  Values are bit-identical: the same
+# integer nibble arithmetic and the same two IEEE-double ops, just evaluated
+# once in Python instead of per row in the JVM (pinned by
+# tests/test_operators.py::test_bucket_expr_matches_hashed_fallback).
+_PRE_DIM = 1024
+
+
+def _plane_weights_py(p: int, dim: int = _PRE_DIM) -> list[float]:
+    import hashlib
+
+    out = []
+    for idx in range(dim):
+        h = hashlib.md5(f"rp:{idx}".encode()).hexdigest()
+        v = 0
+        for j in range(4):
+            v += _HEX.index(h[4 * p + j]) * (16 ** (3 - j))
+        out.append(v / 32767.5 - 1.0)
+    return out
+
+
+# the literal weight array per plane, built ONCE per driver process:
+# F.lit(list) costs one py4j round-trip per element (~0.5 s per 1024-long
+# plane, dominating the query BUILD time), so the array goes through the SQL
+# parser as a single `array(<repr>D, ...)` expression instead — one py4j
+# call, and Double.parseDouble of Python's shortest round-trip repr
+# reproduces each weight bit-for-bit.  Columns are immutable and
+# session-independent, so caching per plane is safe.
+_WEIGHT_COLS: dict[int, Column] = {}
+
+
+def _plane_weights_lit(p: int) -> Column:
+    col = _WEIGHT_COLS.get(p)
+    if col is None:
+        body = ",".join(repr(w) + "D" for w in _plane_weights_py(p))
+        col = F.expr(f"array({body})")
+        # fold the 1024-element array() call into ONE resolved Literal up
+        # front: otherwise every query that embeds this column re-walks the
+        # 1024-node unresolved tree through analysis + constant folding
+        # (~1.5 s of driver time per ann query build, measured).  Best
+        # effort — the parsed column above is semantically identical.
+        try:
+            from pyspark.sql import SparkSession
+
+            spark = SparkSession.getActiveSession()
+            jdf = spark.range(1).select(col.alias("w"))._jdf
+            jlit = jdf.queryExecution().optimizedPlan().expressions().apply(0).child()
+            if jlit.getClass().getSimpleName() == "Literal":
+                from pyspark.sql.column import Column as _PyColumn
+
+                col = _PyColumn(
+                    spark._jvm.org.apache.spark.sql.classic.ExpressionUtils.column(jlit)
+                )
+        except Exception:
+            pass
+        _WEIGHT_COLS[p] = col
+    return col
+
+
 def bucket_expr(vec: Column, n_planes: int) -> Column:
     """Signed-random-projection bucket id: ``n_planes`` (≤ 8) sign bits
-    packed into an int.  No dimension parameter — weights are generated per
-    element index, so the expression works for any array length.
+    packed into an int.  No dimension parameter — weights come from literal
+    per-plane arrays for indices < ``_PRE_DIM`` (element_at on a plan-time
+    constant) and fall back to the per-element hash expression beyond, so
+    the expression works for any array length with identical results.
 
-    All plane dot-products accumulate in ONE ``aggregate`` fold whose update
-    lambda hashes each element once and slices that hash into the per-plane
-    weights — one md5 per element total, not per (plane, element)."""
+    Per-plane dot products run as separate folds in element order — the
+    same left-to-right double accumulation per plane as the original fused
+    fold, so the sums (and hence the sign bits) are bit-identical."""
     assert n_planes <= 8, "one md5 yields 32 nibbles = 8 plane weights"
 
     pairs = F.transform(
         vec, lambda x, i: F.struct(x.cast("double").alias("x"), i.alias("i"))
     )
+    def make_update(p: int, weights: Column):
+        def update(acc: Column, e: Column) -> Column:
+            w = F.when(
+                e["i"] < _PRE_DIM, F.element_at(weights, e["i"] + 1)
+            ).otherwise(_plane_weight(p, e["i"]))
+            return acc + e["x"] * w
 
-    def update(acc: Column, e: Column) -> Column:
-        fields = [
-            (acc[f"d{p}"] + e["x"] * _plane_weight(p, e["i"])).alias(f"d{p}")
-            for p in range(n_planes)
-        ]
-        return F.struct(*fields)
+        return update
 
-    init = F.struct(*[F.lit(0.0).alias(f"d{p}") for p in range(n_planes)])
-    dots = F.aggregate(pairs, init, update)
     bucket = F.lit(0)
     for p in range(n_planes):
-        bucket = bucket + F.when(dots[f"d{p}"] >= 0, F.lit(1)).otherwise(F.lit(0)) * (
-            2 ** p
+        dot = F.aggregate(
+            pairs, F.lit(0.0), make_update(p, _plane_weights_lit(p))
         )
+        bucket = bucket + F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)) * (2 ** p)
     return bucket.cast("int")
 
 

@@ -487,8 +487,8 @@ _SHINGLE_SQL = """
 
 
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = dedup.word_shingles(_t(spark, sf_dir, "documents"))
-    return dedup.minhash_signatures(sh)
+    arrs = dedup.word_shingle_arrays(_t(spark, sf_dir, "documents"))
+    return dedup.minhash_signatures_arrays(arrs)
 
 
 SQL_MINHASH_SIGNATURES = f"""
@@ -506,9 +506,9 @@ def q_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidates with (b=4, r=2) banding: a pair must share BOTH
     min-hashes of some band — the scale-tuned S-curve (r=1 floods buckets at
     corpus scale)."""
-    sh = dedup.word_shingles(_t(spark, sf_dir, "documents"))
+    arrs = dedup.word_shingle_arrays(_t(spark, sf_dir, "documents"))
     return dedup.lsh_candidate_pairs(
-        dedup.lsh_band_values(sh, n_bands=4, rows_per_band=2)
+        dedup.lsh_band_values_arrays(arrs, n_bands=4, rows_per_band=2)
     )
 
 
@@ -540,11 +540,15 @@ def q_lsh_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB near-dup path end-to-end over ALL documents: banded LSH
     candidates (b=4, r=2) → exact n-gram Jaccard verification restricted to
     the candidate pairs (left-semi) — never an all-pairs scan."""
-    sh = dedup.word_shingles(_t(spark, sf_dir, "documents"))
+    d = _t(spark, sf_dir, "documents")
+    arrs = dedup.word_shingle_arrays(d)
+    sh = dedup.word_shingles(d)
     cands = dedup.lsh_candidate_pairs(
-        dedup.lsh_band_values(sh, n_bands=4, rows_per_band=2)
+        dedup.lsh_band_values_arrays(arrs, n_bands=4, rows_per_band=2)
     )
-    return dedup.jaccard_pairs(sh, threshold=0.1, candidates=cands)
+    return dedup.jaccard_pairs(
+        sh, threshold=0.1, candidates=cands, shingle_arrays=arrs
+    )
 
 
 SQL_LSH_JACCARD = f"""
@@ -649,7 +653,9 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs oracle; the 100 TB path feeds LSH candidates instead)."""
     d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
     sh = dedup.word_shingles(d)
-    return dedup.jaccard_pairs(sh, threshold=0.2)
+    return dedup.jaccard_pairs(
+        sh, threshold=0.2, shingle_arrays=dedup.word_shingle_arrays(d)
+    )
 
 
 SQL_NGRAM_JACCARD = f"""

@@ -220,6 +220,49 @@ class TestSimilarity:
                similarity.brute_force_topk(emb, q, k=5).collect()]
         assert got == want
 
+    def test_bucket_expr_matches_hashed_fallback(self, emb, spark):
+        """The literal-weight hot path must be bit-identical to the original
+        per-element hash expression — on normal dims AND across the
+        ``_PRE_DIM`` boundary where the fallback branch takes over."""
+
+        def bucket_hashed(vec, n_planes):
+            pairs = F.transform(
+                vec, lambda x, i: F.struct(x.cast("double").alias("x"), i.alias("i"))
+            )
+
+            def update(acc, e):
+                fields = [
+                    (acc[f"d{p}"] + e["x"] * similarity._plane_weight(p, e["i"])).alias(f"d{p}")
+                    for p in range(n_planes)
+                ]
+                return F.struct(*fields)
+
+            init = F.struct(*[F.lit(0.0).alias(f"d{p}") for p in range(n_planes)])
+            dots = F.aggregate(pairs, init, update)
+            b = F.lit(0)
+            for p in range(n_planes):
+                b = b + F.when(dots[f"d{p}"] >= 0, F.lit(1)).otherwise(F.lit(0)) * (2 ** p)
+            return b.cast("int")
+
+        both = emb.select(
+            bucket_hashed(F.col("embedding"), 6).alias("old"),
+            similarity.bucket_expr(F.col("embedding"), 6).alias("new"),
+        )
+        assert both.where(F.col("old") != F.col("new")).count() == 0
+
+        long_dim = similarity._PRE_DIM + 40
+        long_df = spark.range(10).select(
+            F.expr(
+                f"transform(sequence(0, {long_dim - 1}),"
+                " i -> cast(pmod(hash(id, i), 1000) as double) / 500.0 - 1.0)"
+            ).alias("v")
+        )
+        both_long = long_df.select(
+            bucket_hashed(F.col("v"), 6).alias("old"),
+            similarity.bucket_expr(F.col("v"), 6).alias("new"),
+        )
+        assert both_long.where(F.col("old") != F.col("new")).count() == 0
+
     def test_ann_contains_query_itself(self, emb):
         q = emb.where(F.col("vec_id") == 0).first()["embedding"]
         got = similarity.ann_topk(emb, list(q), k=5, n_planes=4)
