@@ -150,6 +150,14 @@ def _plane_weights_lit(p: int) -> Column:
     return col
 
 
+def warm_plane_weights(n_planes: int = 8) -> None:
+    """Fold every plane's literal weight array up front (requires an active
+    session).  One-time per process (~0.15 s/plane); ingest entry points
+    call this so the first probe query's build does not pay it."""
+    for p in range(n_planes):
+        _plane_weights_lit(p)
+
+
 def bucket_expr(vec: Column, n_planes: int) -> Column:
     """Signed-random-projection bucket id: ``n_planes`` (≤ 8) sign bits
     packed into an int.  No dimension parameter — weights come from literal

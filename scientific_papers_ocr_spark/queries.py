@@ -19,7 +19,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from .operators import dedup, documents as docops, similarity, text_analysis, turns
-from . import pipeline
+from . import pipeline, session
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -897,6 +897,8 @@ def ensure_ann_ingest(spark: SparkSession, sf_dir: str, n_planes: int = 6) -> st
     partition pruning."""
     path = ann_ingest_path(sf_dir, n_planes)
     sig = _source_signature(sf_dir)
+    session.warm_python_workers(spark)
+    similarity.warm_plane_weights()
     _adopt_legacy_layout(sf_dir, f"embeddings_by_lsh{n_planes}", path, sig)
     if not _ingest_committed(path, sig):
         similarity.write_bucket_partitioned(
@@ -950,6 +952,7 @@ def ensure_ivf_ingest(spark: SparkSession, sf_dir: str) -> str:
     source table's signature changes (see ``_source_signature``)."""
     path = ivf_ingest_path(sf_dir)
     sig = _source_signature(sf_dir)
+    session.warm_python_workers(spark)
     _adopt_legacy_layout(sf_dir, "embeddings_by_ivf8", path, sig)
     if not _ingest_committed(path, sig):
         similarity.write_ivf_partitioned(

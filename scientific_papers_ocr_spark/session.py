@@ -45,6 +45,37 @@ def package_zip() -> str:
     return zip_path
 
 
+def warm_python_workers(spark: SparkSession) -> None:
+    """Spin up the session's Python worker pool — one trivial pandas pass
+    with one task per core, so every worker forks and imports pandas/Arrow
+    before the first real pandas-UDF stage runs.
+
+    On a cluster this is one-time executor startup, not per-job cost, and
+    the bench methodology explicitly excludes it ("untimed warmup absorbs
+    codegen/scan/python-worker cold start" — bench.py); ingest entry points
+    call this so a freshly built session serves its first probe/extraction
+    workload at steady-state latency (~2 s of fork+import otherwise lands
+    inside whichever query happens to hit Python first).  Idempotent per
+    session; workers are reused afterwards (spark.python.worker.reuse)."""
+    key = "spark.graft.workersWarmed"
+    try:
+        if spark.conf.get(key, "") == "1":
+            return
+    except Exception:
+        pass
+    import pandas as pd
+
+    def _touch(batches):
+        for pdf in batches:
+            yield pd.DataFrame({"x": [len(pdf)]})
+
+    par = spark.sparkContext.defaultParallelism
+    spark.range(0, par, 1, numPartitions=par).mapInPandas(
+        _touch, schema="x long"
+    ).count()
+    spark.conf.set(key, "1")
+
+
 def build_session(
     app_name: str = "transcript-extraction",
     cores: int | None = None,
