@@ -222,6 +222,13 @@ def assemble_documents_from_input(
 
     ``transcripts_df`` must carry the ``bucket`` column (``add_bucket``).
     """
+    if "bucket" not in transcripts_df.columns:
+        raise ValueError(
+            "assemble_documents_from_input requires a 'bucket' column on "
+            "transcripts_df — apply pipeline.add_bucket(df, num_buckets) "
+            "first (this is a breaking change from the pre-r5 raw-transcripts "
+            "signature)"
+        )
     inputs = transcripts_df.select(
         "conv_id",
         F.col("turn_idx").cast("int").alias("turn_idx"),
@@ -259,7 +266,11 @@ def assemble_documents_from_input(
                 if i == len(cids) or cids[i] != cids[lo]:
                     pages: list[str] = []
                     meta_cells: list = []
-                    bucket = int(buckets[lo]) if buckets[lo] is not None else 0
+                    # pd.isna, not `is not None`: Arrow renders a nullable int
+                    # column as float64 + NaN, and `NaN is not None` is True —
+                    # an identity guard would crash in int(NaN) instead of
+                    # falling back (a null conv_id makes crc32 null upstream)
+                    bucket = 0 if pd.isna(buckets[lo]) else int(buckets[lo])
                     j = lo
                     while j < i:
                         if tags[j] == 0:
@@ -268,7 +279,7 @@ def assemble_documents_from_input(
                                 v = texts[j + 1]
                                 pages.append(v if v is not None else base)
                                 meta_cells.append(metas[j + 1])
-                                if buckets[j + 1] is not None:
+                                if not pd.isna(buckets[j + 1]):
                                     bucket = int(buckets[j + 1])
                                 j += 2
                             else:  # verdict row missing (shouldn't happen)
@@ -278,7 +289,7 @@ def assemble_documents_from_input(
                         else:  # orphan verdict row
                             pages.append(texts[j] if texts[j] is not None else "")
                             meta_cells.append(metas[j])
-                            if buckets[j] is not None:
+                            if not pd.isna(buckets[j]):
                                 bucket = int(buckets[j])
                             j += 1
                     rows.append(

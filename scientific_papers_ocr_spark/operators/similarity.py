@@ -312,9 +312,17 @@ def upsert_bucket_partitioned(
         .select("lsh_bucket")
     )
     touched = new_b.select("lsh_bucket").unionByName(prior_buckets).distinct()
+    # Resolve the touched-bucket set ONCE (planning-sized: bounded by the
+    # batch, never the table — the same budget Iceberg's MERGE metadata pass
+    # pays) and feed the literal set back into the plan, so the semi-join
+    # below doesn't re-run the prior-bucket location scan a second time.
+    touched_set = {r[0] for r in touched.collect()}
+    touched_lit = spark.createDataFrame(
+        [(int(b),) for b in sorted(touched_set)], schema="lsh_bucket int"
+    )
     existing = (
         spark.read.parquet(path)
-        .join(F.broadcast(touched), on="lsh_bucket", how="left_semi")
+        .join(F.broadcast(touched_lit), on="lsh_bucket", how="left_semi")
         .join(F.broadcast(new_ids), on=id_col, how="left_anti")
     )
     merged = existing.unionByName(new_b.select(existing.columns))
@@ -325,18 +333,21 @@ def upsert_bucket_partitioned(
     # vec_id.  Find those buckets BEFORE the write (after it, the lazy
     # `existing` plan would re-list a directory whose files the overwrite
     # deleted) and drop their partition directories once the overwrite has
-    # committed.  Both collects are planning-sized: bounded by the batch's
-    # touched-bucket set, never the table — the same budget Iceberg's MERGE
-    # metadata pass pays.
-    touched_set = {r[0] for r in touched.collect()}
-    kept_set = {r[0] for r in merged.select("lsh_bucket").distinct().collect()}
-    (
-        merged.repartition("lsh_bucket")
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("lsh_bucket")
-        .parquet(path)
-    )
+    # committed.  `merged` is persisted around the kept-set collect and the
+    # write so the merge plan executes ONCE — not recomputed per action —
+    # and the written data cannot diverge from the kept-set decision.
+    merged = merged.persist()
+    try:
+        kept_set = {r[0] for r in merged.select("lsh_bucket").distinct().collect()}
+        (
+            merged.repartition("lsh_bucket")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("lsh_bucket")
+            .parquet(path)
+        )
+    finally:
+        merged.unpersist()
     _delete_partition_dirs(
         spark,
         path,

@@ -118,6 +118,13 @@ def run_pipeline(
     turns/docs/spans/lineage tables there (partitioned by bucket) and, with
     ``resume=True``, skip buckets whose lineage rows are already committed.
 
+    ``num_buckets`` is also the wide stage's parallelism ceiling: ``bucket``
+    is the assembly exchange key, so at most ``num_buckets`` tasks do useful
+    work there (hash collisions can reduce that further when the shuffle
+    partition count exceeds it).  Size it like any bucketed table layout —
+    at least the cluster's core count, targeting a few hundred MB per
+    bucket; the 64 default fits this sandbox, not a 100 TB deployment.
+
     ``skew_turn_threshold``: conversations with at least this many turns are
     assembled by the distributed (per-section) path instead of the
     whole-conversation path.  The decision mirrors how AQE re-plans from
@@ -234,18 +241,36 @@ def run_pipeline(
     import threading
 
     probe_box: dict = {}
+    # side jobs run under job groups so that if the main-thread writes fail,
+    # their in-flight Spark jobs are cancelled instead of left running on the
+    # cluster (where they would overlap a caller's retry and contend with it)
+    run_tag = f"run-pipeline-{id(probe_box):x}"
+    probe_group = f"{run_tag}-probe"
+    lineage_group = f"{run_tag}-lineage"
 
     def _compute_probe() -> None:
         try:
+            spark.sparkContext.setJobGroup(probe_group, "pipeline: skew probe", True)
             probe_box["ids"] = _probe_big_ids(df, skew_turn_threshold)
         except Exception as e:  # noqa: BLE001 — re-raised on the main thread
             probe_box["err"] = e
 
+    def _cancel_side_jobs() -> None:
+        for g in (probe_group, lineage_group):
+            try:
+                spark.sparkContext.cancelJobGroup(g)
+            except Exception:  # noqa: BLE001 — best-effort on the error path
+                pass
+
     probe_thread = threading.Thread(target=_compute_probe, daemon=True)
     probe_thread.start()
-    tsrc.write_partitioned(
-        turns_out, os.path.join(output_dir, "turns"), clustered=input_bucket_aligned
-    )
+    try:
+        tsrc.write_partitioned(
+            turns_out, os.path.join(output_dir, "turns"), clustered=input_bucket_aligned
+        )
+    except BaseException:
+        _cancel_side_jobs()
+        raise
     # Explicit schemas on every read-back: a zero-row partitioned write emits
     # no data files (only _SUCCESS), and schema inference on such a directory
     # raises UNABLE_TO_INFER_SCHEMA — an empty input must flow through to an
@@ -280,6 +305,7 @@ def run_pipeline(
 
     def _compute_lineage() -> None:
         try:
+            spark.sparkContext.setJobGroup(lineage_group, "pipeline: lineage", True)
             lineage_box["rows"] = lineage_out.collect()
         except Exception as e:  # noqa: BLE001 — re-raised on the main thread
             lineage_box["err"] = e
@@ -287,23 +313,27 @@ def run_pipeline(
     lineage_thread = threading.Thread(target=_compute_lineage, daemon=True)
     lineage_thread.start()
 
-    probe_thread.join()
-    if "err" in probe_box:
-        raise probe_box["err"]
-    docs_out = assemble(fresh_turns, probe_box["ids"])
-    out_schema["docs"] = docs_out.schema
-    tsrc.write_partitioned(docs_out, os.path.join(output_dir, "docs"), clustered=True)
-    all_docs = spark.read.schema(out_schema["docs"]).parquet(
-        os.path.join(output_dir, "docs")
-    )
-    fresh_docs = (
-        all_docs.join(F.broadcast(done), on="bucket", how="left_anti")
-        if done is not None
-        else all_docs
-    )
-    spans_out = documents.explode_spans(fresh_docs)
-    out_schema["spans"] = spans_out.schema
-    tsrc.write_partitioned(spans_out, os.path.join(output_dir, "spans"), clustered=True)
+    try:
+        probe_thread.join()
+        if "err" in probe_box:
+            raise probe_box["err"]
+        docs_out = assemble(fresh_turns, probe_box["ids"])
+        out_schema["docs"] = docs_out.schema
+        tsrc.write_partitioned(docs_out, os.path.join(output_dir, "docs"), clustered=True)
+        all_docs = spark.read.schema(out_schema["docs"]).parquet(
+            os.path.join(output_dir, "docs")
+        )
+        fresh_docs = (
+            all_docs.join(F.broadcast(done), on="bucket", how="left_anti")
+            if done is not None
+            else all_docs
+        )
+        spans_out = documents.explode_spans(fresh_docs)
+        out_schema["spans"] = spans_out.schema
+        tsrc.write_partitioned(spans_out, os.path.join(output_dir, "spans"), clustered=True)
+    except BaseException:
+        _cancel_side_jobs()
+        raise
     lineage_path = os.path.join(output_dir, "lineage")
     mode = "append" if (resume and os.path.exists(lineage_path)) else "overwrite"
     lineage_thread.join()
