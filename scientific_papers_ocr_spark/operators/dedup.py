@@ -230,7 +230,32 @@ def jaccard_pairs(
     ``shingle_arrays`` (the ``word_shingle_arrays`` frame the exploded
     ``shingles`` came from) lets the per-doc size leg run as a narrow
     ``size(shingles)`` projection instead of a count aggregate over every
-    exploded shingle."""
+    exploded shingle — and, combined with ``candidates``, replaces the
+    shingle-level equi-join + count entirely: the candidate pair attaches
+    both docs' (distinct) shingle arrays and the intersection is computed
+    IN-ROW (``size(array_intersect(a, b))``), so no per-shingle rows are
+    ever joined, shuffled or aggregated.  Identical values: the arrays are
+    distinct per doc, so the in-row intersection size equals the count of
+    co-occurring shingle rows."""
+    if candidates is not None and shingle_arrays is not None:
+        arr_a = shingle_arrays.select(
+            F.col(id_col).alias("id_a"), F.col("shingles").alias("_sh_a")
+        )
+        arr_b = shingle_arrays.select(
+            F.col(id_col).alias("id_b"), F.col("shingles").alias("_sh_b")
+        )
+        paired = candidates.join(arr_a, on="id_a").join(arr_b, on="id_b")
+        n_common = F.size(F.array_intersect("_sh_a", "_sh_b"))
+        jac = F.round(
+            n_common / (F.size("_sh_a") + F.size("_sh_b") - n_common), 4
+        )
+        return (
+            # n_common >= 1 mirrors the join path exactly: a pair with no
+            # shared shingle never appears there, whatever the threshold
+            paired.where(n_common >= 1)
+            .select("id_a", "id_b", jac.alias("jaccard"))
+            .where(F.col("jaccard") >= threshold)
+        )
     if shingle_arrays is not None:
         sizes = shingle_arrays.select(
             F.col(id_col), F.size("shingles").alias("n_shingles")
